@@ -1,0 +1,111 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Session façade with the reference's `BallistaContext` surface (reference
+  * context.rs:34-172): ad-hoc reads, named-table registration for SQL, and
+  * SQL execution. Spark-first: the "remote scheduler" of the reference is
+  * simply the SparkSession's cluster manager; the named-table catalog is the
+  * session catalog (temp views), so `sql()` reaches every registered table,
+  * `SHOW TABLES`, and DDL like `CREATE TABLE … USING parquet LOCATION …`
+  * natively.
+  *
+  * Ctor parity (reference context.rs:34-64): `shufflePartitions` maps to
+  * spark.sql.shuffle.partitions; `batchSize` (`ballista.batch.size`) is an
+  * engine-internal knob with no Spark analog — whole-stage codegen replaces
+  * interpreted batches — and is accepted as a documented no-op.
+  */
+final class Context(val spark: SparkSession,
+                    shufflePartitions: Int = 16,
+                    batchSize: Int = 8192) {
+
+  spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+
+  /** SQL pass-through (reference context.rs:166-172). Lazy: returns a
+    * DataFrame wrapping the plan; nothing executes until an action. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  // --- ad-hoc reads (reference context.rs:66-98) ---------------------------
+
+  def readCsv(path: String,
+              hasHeader: Boolean = false,
+              delimiter: String = ",",
+              schema: Option[StructType] = None,
+              schemaInferMaxRecords: Int = 1000): DataFrame = {
+    val r = spark.read
+      .option("header", hasHeader.toString)
+      .option("sep", delimiter)
+    schema match {
+      case Some(st) => r.schema(st).csv(path)
+      case None     => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  def readParquet(path: String): DataFrame = spark.read.parquet(path)
+
+  /** Avro scan (reference context.rs:89-98). Requires the spark-avro module
+    * on the classpath; absent in this environment, so the call surfaces a
+    * clear capability error (mirroring how the reference documents JSON as
+    * unsupported, reference OLDREADME.md:36). */
+  def readAvro(path: String): DataFrame =
+    try spark.read.format("avro").load(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("avro") =>
+        throw new UnsupportedOperationException(
+          "Avro requires the spark-avro module on the classpath " +
+          "(environment-unsupported here)", e)
+    }
+
+  // --- catalog registration (reference context.rs:100-163) -----------------
+
+  def registerCsv(name: String, path: String,
+                  schema: Option[StructType] = None,
+                  hasHeader: Boolean = true,
+                  delimiter: String = ",",
+                  schemaInferMaxRecords: Int = 1000,
+                  fileExtension: String = ".csv"): Unit =
+    readCsv(path, hasHeader, delimiter, schema, schemaInferMaxRecords)
+      .createOrReplaceTempView(name)
+
+  def registerParquet(name: String, path: String): Unit =
+    readParquet(path).createOrReplaceTempView(name)
+
+  def registerAvro(name: String, path: String): Unit =
+    readAvro(path).createOrReplaceTempView(name)
+
+  def registerTable(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** In-memory source (reference docs/source/user-guide/python.md:103-133). */
+  def createDataFrame(rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+
+  def tables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq
+}
+
+object Context {
+
+  /** Single-box bring-up, the analog of running the reference's in-process
+    * Scheduler + Executor daemons (reference scheduler.rs:27-72,
+    * executor.rs:24-76): in Spark that entire runtime is
+    * `master(local[n])` — scheduling, shuffle service, and memory manager
+    * come with the session. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            shufflePartitions: Int = 32,
+            appName: String = "graft"): Context = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    new Context(spark, shufflePartitions)
+  }
+}
