@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * fingerprint, n-gram Jaccard, MinHash+LSH, and SimHash. All are pure
+  * DataFrame→DataFrame transforms — every stage is a scan / hash-shuffle /
+  * hash-agg plan with no driver-side collection, so the same code paths run
+  * unchanged on a 1000-executor cluster.
+  *
+  * Scale design notes:
+  *  - shingles are hashed to 64-bit longs before any shuffle (8 bytes/key
+  *    instead of arbitrary-length strings);
+  *  - candidate generation (LSH bands / simhash blocks) shuffles on
+  *    (band, hash) — uniformly distributed keys, no skew hotspots;
+  *  - exact-dedup keeps min-id per key via partial-aggregating groupBy
+  *    (map-side combine), not a window sort.
+  */
+object Dedup {
+
+  // --- exact -------------------------------------------------------------
+
+  /** One surviving row per distinct key tuple — the canonical survivor is
+    * the minimum of `idCol` (deterministic, unlike dropDuplicates' arbitrary
+    * first-seen row). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, keyCols :+ idCol, "left_semi")
+  }
+
+  /** Duplicate-group summary: key, surviving id, group size. */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Exact dedup modulo case/punctuation/whitespace via md5 fingerprint. */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn("fp", TextAnalysis.fingerprint(col(textCol))),
+          Seq("fp"), idCol).drop("fp")
+
+  // --- shingling ---------------------------------------------------------
+
+  /** Distinct word-n-gram shingles, one row per (id, shingleHash). The
+    * 64-bit hash stands in for the shingle string from here on. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    val t = tokensExpr(textCol)
+    // guard: sequence(1, 0) in Spark is DESCENDING [1,0], not empty — docs
+    // shorter than n tokens must yield an empty shingle set explicitly
+    val shingleArr =
+      s"""CASE WHEN size($t) >= $n
+         |  THEN transform(sequence(1, size($t) - ${n - 1}),
+         |                 i -> concat_ws(' ', slice($t, i, $n)))
+         |  ELSE array() END""".stripMargin
+    df.select(col(idCol), explode(expr(shingleArr)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+  }
+  private def tokensExpr(textCol: String): String =
+    s"split(lower(trim($textCol)), '\\\\s+')"
+
+  /** Per-id shingle counts (set sizes for Jaccard). */
+  def shingleSizes(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("sh_n"))
+
+  // --- n-gram Jaccard ----------------------------------------------------
+
+  /** All id pairs (a < b) with word-n-gram Jaccard similarity ≥ threshold.
+    * Exact computation: shingle-equality self-join → per-pair intersection
+    * counts → |A∩B| / (|A|+|B|-|A∩B|). The self-join shuffles on the
+    * shingle hash; very frequent shingles (stop-phrases) can be capped with
+    * `maxDocFreq` to bound the quadratic blowup at scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val rare = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= cap).select("sh")
+        sh0.join(rare, Seq("sh"), "left_semi")
+      case None => sh0
+    }
+    val sizes = shingleSizes(sh0, idCol)
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    val common = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sh_n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** k-permutation MinHash signature per id: sig_i = min over shingles of
+    * xxhash64(i, shingle). One groupBy with k partial-aggregating mins. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: signature → `bands` band-hashes → exploded (band, hash)
+    * rows. Docs sharing any band collide. r = k/bands rows per band. */
+  def lshBands(sig: DataFrame, idCol: String, k: Int = 64,
+               bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)
+    }
+    sig.select(col(idCol),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  /** Candidate pairs from LSH bucket collisions (distinct, a < b). */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int = 64,
+                    bands: Int = 16): DataFrame = {
+    val bandsDf = lshBands(sig, idCol, k, bands)
+    val a = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified: LSH candidates are re-scored
+    * with exact n-gram Jaccard (computed only for candidates — a semi-join
+    * restriction, not a full quadratic pass). */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.8): DataFrame = {
+    val cands = lshCandidates(
+      minhashSignatures(df, idCol, textCol, n, k), idCol, k, bands)
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = shingleSizes(sh, idCol)
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    val common = a.join(b, Seq("sh"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sh_n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Built as 64 conditional-sum aggregates over exploded tokens —
+    * partial aggregation keeps the shuffle at one row per document. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v_$i")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    agg.select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, found without
+    * a quadratic pass: split the 64 bits into `blocks` 16-bit blocks — any
+    * pair within Hamming ≤ blocks-1 shares at least one exact block
+    * (pigeonhole) — join per block, then filter on true bit_count. */
+  def simhashPairs(sim: DataFrame, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val blocks = 4 // 4 x 16-bit blocks covers maxHamming <= 3
+    require(maxHamming < blocks,
+      s"maxHamming=$maxHamming needs more than $blocks blocks")
+    val blockCols = (0 until blocks).map(bix =>
+      shiftrightunsigned(col("simhash"), bix * 16).bitwiseAND(0xFFFFL))
+    val exploded = sim.select(col(idCol), col("simhash"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bv")))
+    val a = exploded.select(col("blk"), col("bv"), col(idCol).as("id_a"),
+      col("simhash").as("sh_a"))
+    val b = exploded.select(col("blk"), col("bv"), col(idCol).as("id_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("blk", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline and a bit-sampled
+  * random-hyperplane LSH as the scale path. All arithmetic runs through
+  * Spark's higher-order array functions (zip_with/aggregate) in double
+  * precision — codegen'd, no UDFs.
+  *
+  * Scale design: queries are broadcast (a query set is small by
+  * definition); the corpus side never shuffles for brute force — one narrow
+  * scan + local top-k heap via TakeOrderedAndProject (single query) or a
+  * partial top-k window (query batch). The LSH path buckets the corpus on
+  * compact sign-bit keys so candidate generation is a hash join on longs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns (cast float arrays
+    * first: `.cast("array<double>")`). Sequential left-to-right aggregate —
+    * deterministic and oracle-reproducible. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), _ + _)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(zip_with(a, a, (p, q) => p * q), lit(0.0), _ + _))
+
+  /** Exact top-k by cosine for a single query row. `query` must be a
+    * one-row DataFrame with `(qCol: array)` — broadcast, so the corpus scan
+    * is embarrassingly parallel and the global top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no shuffle of the corpus). */
+  def topKForQuery(corpus: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, qCol: String, k: Int): DataFrame = {
+    corpus
+      .crossJoin(broadcast(query.select(col(qCol).cast("array<double>")
+        .as("__q"))))
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k per query for a batch of queries: broadcast the batch,
+    * score all pairs map-side, keep k per query with a partition-local
+    * top-k window. */
+  def topKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("__q"))))
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol).cast("array<double>"), col("__q")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1]. Pure column expression, identical on
+    * every executor — no RNG state to ship. */
+  private def planeComponent(plane: Int, dim: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2000001L)) -
+      lit(1000000L)).cast("double") / lit(1000000.0)
+
+  /** `nPlanes` sign bits of random-hyperplane projections packed into one
+    * long — the classic cosine-LSH sketch. */
+  def signBits(vec: Column, nPlanes: Int = 16,
+               seed: Long = 42L): Column = {
+    val v = vec.cast("array<double>")
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i, seed)),
+        lit(0.0), _ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate near-neighbor pairs: bucket by sign-bit sketch over
+    * `tables` independent hash tables (different seeds), union candidates,
+    * then re-score exactly with cosine and keep pairs ≥ threshold. */
+  def annPairs(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nPlanes: Int = 12,
+               tables: Int = 4): DataFrame = {
+    val withSketch = (0 until tables).map { t =>
+      corpus.select(col(idCol), col(vecCol),
+        lit(t).as("tbl"),
+        signBits(col(vecCol), nPlanes, seed = 1000L + t).as("sketch"))
+    }.reduce(_ unionAll _)
+    val a = withSketch.select(col("tbl"), col("sketch"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withSketch.select(col("tbl"), col("sketch"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("tbl", "sketch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va").cast("array<double>"),
+               col("vb").cast("array<double>")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact all-pairs above a cosine threshold — the quadratic baseline the
+    * ANN path is validated against in tests (only sane at small N). */
+  def exactPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va").cast("array<double>"),
+               col("vb").cast("array<double>")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

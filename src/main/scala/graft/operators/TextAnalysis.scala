@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star scope, beyond the reference's own surface).
+  * Everything is a pure column expression — codegen'd, no UDFs, no state —
+  * so a 100 TB documents table processes as a single narrow scan stage.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: GPT-2-style pre-tokenizer regex (contractions,
+    * letter runs, digit runs, punctuation runs, whitespace runs) — a cheap,
+    * deterministic proxy for subword token counts. */
+  val bpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeishPattern), lit(0)))
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for",
+                "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+                "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "que", "pour",
+                "dans"),
+    "es" -> Seq("el", "los", "las", "es", "que", "un", "por", "como", "para",
+                "del"))
+
+  private def markerRegex(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Count of marker-word hits for one language. */
+  def langScore(c: Column, lang: String): Column = {
+    val words = langMarkers.toMap.apply(lang)
+    size(regexp_extract_all(lower(c), lit(markerRegex(words)), lit(0)))
+  }
+
+  /** Heuristic language ID: highest marker-hit count wins, ties resolved in
+    * langMarkers order; CJK codepoints short-circuit to "zh"; no hits at all
+    * → "und". */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+    // fold a running (bestLang, bestScore) pair of columns; strictly-greater
+    // keeps the first-listed language on ties
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(bestScore > 0, bestLang)
+      .otherwise(lit("und"))
+  }
+
+  /** Quality-score components (all in [0,1]-ish ranges, cheap ratios). */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  def upperRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  def stopwordRatio(c: Column): Column =
+    langScore(c, "en").cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  def meanWordLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Composite quality score: length-band membership + punctuation sanity +
+    * stopword presence + word-length sanity. Higher is better, max 4.0. */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c)
+    val lenOk = when(n.between(10, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) > 0.01, 1.0).otherwise(0.0)
+    val wordOk = when(meanWordLen(c).between(2.0, 12.0), 1.0).otherwise(0.0)
+    lenOk + punctOk + stopOk + wordOk
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics to single spaces, trim. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — two documents with
+    * the same fingerprint are exact duplicates modulo case/punctuation/
+    * whitespace. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** 64-bit rolling fingerprint over normalized tokens — order-sensitive,
+    * cheap to band/bucket on. A chained-hash fold (acc, token) → xxhash64:
+    * overflow-free under ANSI mode (a polynomial multiply would throw),
+    * expressed with the built-in higher-order aggregate so it stays
+    * distributed and codegen-adjacent. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(split(normalized(c), " "), lit(1469598103934665603L),
+      (acc, w) => xxhash64(acc, w))
+}

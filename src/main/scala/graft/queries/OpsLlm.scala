@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the documents/embeddings tables
+  * (BASELINE.json north-star scope): text analysis, dedup family,
+  * similarity search, multimodal plumbing. DuckDB oracles recompute the
+  * same deterministic formulas; operators whose machinery is not
+  * SQL-expressible (minhash/simhash/LSH/mapPartitions) are rows-only here
+  * and verified against exact baselines in LlmOpsSpec. */
+object OpsLlm extends Suite {
+
+  private val enMarkers = "\\b(the|and|of|to|in|is|that|it|for|was)\\b"
+
+  // -- text statistics ------------------------------------------------------
+  private val textStats: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = col("text")
+    t.documents.select(col("doc_id"),
+      TA.tokenCount(c).as("n_tok"),
+      TA.bpeishTokenCount(c).as("n_bpe"),
+      TA.meanWordLen(c).as("mean_wlen"),
+      TA.punctRatio(c).as("punct_ratio"),
+      TA.upperRatio(c).as("upper_ratio"),
+      TA.stopwordRatio(c).as("stop_ratio"),
+      length(c).as("len"))
+      .orderBy(col("doc_id"))
+  }
+  private val textStatsSql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+       |  CAST(len(regexp_extract_all(text,
+       |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+       |    AS INT) AS n_bpe,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |    AS mean_wlen,
+       |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS upper_ratio,
+       |  CAST(len(regexp_extract_all(lower(text), '$enMarkers')) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |    AS stop_ratio,
+       |  CAST(length(text) AS INT) AS len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- language ID ----------------------------------------------------------
+  private val langId: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = col("text")
+    t.documents.select(col("doc_id"), col("lang"),
+      TA.langId(c).as("lang_pred"),
+      TA.langScore(c, "en").as("s_en"),
+      TA.langScore(c, "de").as("s_de"),
+      TA.langScore(c, "fr").as("s_fr"),
+      TA.langScore(c, "es").as("s_es"))
+      .orderBy(col("doc_id"))
+  }
+  private def scoreSql(words: Seq[String]): String =
+    s"CAST(len(regexp_extract_all(lower(text), " +
+      s"'\\b(${words.mkString("|")})\\b')) AS INT)"
+  private val langIdSql = {
+    val m = TA.langMarkers.toMap
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS lang_pred,
+       |  s_en, s_de, s_fr, s_es
+       |FROM (SELECT doc_id, lang, text,
+       |        ${scoreSql(m("en"))} AS s_en,
+       |        ${scoreSql(m("de"))} AS s_de,
+       |        ${scoreSql(m("fr"))} AS s_fr,
+       |        ${scoreSql(m("es"))} AS s_es
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- quality score --------------------------------------------------------
+  private val quality: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = col("text")
+    t.documents.select(col("doc_id"),
+      TA.qualityScore(c).as("quality"),
+      TA.tokenCount(c).as("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+  private val qualitySql =
+    s"""SELECT doc_id,
+       |  (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |  + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.0 END)
+       |  + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+       |  + (CASE WHEN wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |    AS quality,
+       |  n_tok
+       |FROM (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+       |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS punct_r,
+       |  CAST(len(regexp_extract_all(lower(text), '$enMarkers')) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |    AS stop_r,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS wlen
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // -- fingerprint dup groups ----------------------------------------------
+  private val fingerprintGroups: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.exactGroups(
+      t.documents.withColumn("fp", TA.fingerprint(col("text"))),
+      "fp", "doc_id")
+      .orderBy(col("fp"))
+  }
+  private val fingerprintGroupsSql =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ',
+      |    'g'))) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS group_size
+      |FROM documents
+      |GROUP BY fp
+      |ORDER BY fp""".stripMargin
+
+  // -- exact dedup survivors ------------------------------------------------
+  private val dedupExact: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.exact(t.documents, Seq("text"), "doc_id")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+      |ORDER BY doc_id""".stripMargin
+
+  // -- n-gram Jaccard near-dup pairs (exact computation) --------------------
+  private val dedupNgram: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val dedupNgramSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+      |FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -- MinHash-LSH near-dup pairs. Candidates are re-scored with exact
+  //    Jaccard, and at threshold 0.9 with k=64/bands=16 the per-pair miss
+  //    probability is ~(1-0.9^4)^16 ≈ 4e-8 — deterministic hashes make the
+  //    observed recall exactly 100% here, so the oracle is the exact-Jaccard
+  //    SQL at the same threshold. ------------------------------------------
+  private val dedupMinhash: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.minhashDedupPairs(t.documents, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -- SimHash near-dup pairs (rows-only; spec-verified) --------------------
+  private val dedupSimhash: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.simhashPairs(
+        Dedup.simhash(t.documents, "doc_id", "text"), "doc_id",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -- embedding cosine top-k (brute force, exact) --------------------------
+  private val embedTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val query = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    Similarity.topKForQuery(t.embeddings.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", query, "q", k = 20)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+  private val embedTopkSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      |           WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(embedding::DOUBLE[], qv)
+      |    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+
+  // -- embedding near-dup pairs: exact quadratic baseline. The synthetic
+  //    embeddings top out around cosine 0.51, so 0.45 is the "near" band.
+  private val embedExactPairs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Similarity.exactPairs(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val embedExactPairsSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                             a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]))), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                             a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]))) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -- embedding ANN pairs via sign-bit LSH (rows-only; recall in spec) -----
+  private val embedAnnPairs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    // low-similarity regime → few planes, many tables (recall/cost knob)
+    Similarity.annPairs(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45, nPlanes = 4, tables = 8)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -- multimodal plumbing (stubbed decode; deterministic, rows-only) -------
+  private val multimodal: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val media = Multimodal.syntheticMedia(
+      t.documents.select(col("doc_id"), col("text")), "text")
+    Multimodal.extractFeatures(media, "doc_id", "content", dim = 8)
+      .select(col("doc_id"), col("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  def defs: Map[String, Q] = Map(
+    "llm_text_stats" -> textStats,
+    "llm_lang_id" -> langId,
+    "llm_quality" -> quality,
+    "llm_fingerprint_groups" -> fingerprintGroups,
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_ngram" -> dedupNgram,
+    "llm_dedup_minhash" -> dedupMinhash,
+    "llm_dedup_simhash" -> dedupSimhash,
+    "llm_embed_topk" -> embedTopk,
+    "llm_embed_exact_pairs" -> embedExactPairs,
+    "llm_embed_ann_pairs" -> embedAnnPairs,
+    "llm_multimodal_features" -> multimodal)
+
+  def oracle: Map[String, String] = Map(
+    "llm_text_stats" -> textStatsSql,
+    "llm_lang_id" -> langIdSql,
+    "llm_quality" -> qualitySql,
+    "llm_fingerprint_groups" -> fingerprintGroupsSql,
+    "llm_dedup_exact" -> dedupExactSql,
+    "llm_dedup_ngram" -> dedupNgramSql,
+    "llm_dedup_minhash" -> dedupNgramSql
+      .replace(">= 0.5", ">= 0.9"),
+    "llm_embed_topk" -> embedTopkSql,
+    "llm_embed_exact_pairs" -> embedExactPairsSql)
+}

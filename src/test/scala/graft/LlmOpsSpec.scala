@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate verification for the dedup/similarity operators whose
+  * machinery has no SQL oracle (minhash/simhash/LSH/mapPartitions). */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank " +
+    "while morning light rises slowly across the quiet valley floor"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                        // exact dup of 0
+    (2L, base.replace("quick", "sly")),                // near dup of 0
+    (3L, "completely different content about spark engines and " +
+         "columnar execution with vectorized readers and shuffles"),
+    (4L, "Unrelated Text! With Punctuation, and CASING differences."),
+    (5L, "unrelated text with punctuation and casing differences"),
+    (6L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("fingerprint dedup unifies case/punctuation variants") {
+    val out = Dedup.byFingerprint(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 4 and 5 collapse (case+punct), 0 and 1 collapse (exact)
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L, 6L))
+  }
+
+  test("ngram jaccard finds exact and near dup pairs, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recalls the exact jaccard pairs on planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mh == exact) // verified candidates: no false positives, full recall
+  }
+
+  test("simhash: identical texts collide, near dups within hamming 3") {
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == m(1L))
+    assert(java.lang.Long.bitCount(m(0L) ^ m(2L)) <= 8) // near dup: close
+    assert(java.lang.Long.bitCount(m(0L) ^ m(3L)) > 10) // unrelated: far
+    val pairs = Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("rolling fingerprint is order-sensitive where md5 fingerprint is not") {
+    val df = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fps = df.select(TA.rollingFingerprint($"text")).collect()
+      .map(_.getLong(0))
+    assert(fps(0) != fps(1))
+    val same = Seq((0L, "alpha  beta   gamma"), (1L, "Alpha beta, gamma!"))
+      .toDF("doc_id", "text")
+      .select(TA.fingerprint($"text")).collect().map(_.getString(0))
+    assert(same(0) == same(1))
+  }
+
+  test("langId picks marker language and zh via CJK codepoints") {
+    val df = Seq(
+      ("the cat sat on the mat and it was good for the dog", "en"),
+      ("der hund ist nicht mit der katze und das haus", "de"),
+      ("le chat est dans la maison et les chiens pour une vie", "fr"),
+      ("el perro es un animal que vive para el gato del pueblo", "es"),
+      ("你好世界", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val out = df.select(TA.langId($"text").as("got"), $"expected").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(1)} got ${r.getString(0)}"))
+  }
+
+  test("ANN sign-bit LSH recalls planted high-cosine pairs") {
+    val dim = 32
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Seq[Float]): Seq[Float] =
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val v0 = vec(); val v1 = vec()
+    val rows = Seq(
+      (0L, v0), (1L, perturb(v0)),         // planted pair ~cos 0.999
+      (2L, v1), (3L, perturb(v1))) ++
+      (4L to 40L).map(i => (i, vec()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val ann = Similarity.annPairs(emb, "vec_id", "embedding",
+        threshold = 0.95, nPlanes = 12, tables = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.contains((0L, 1L)) && ann.contains((2L, 3L)))
+    val exact = Similarity.exactPairs(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact)) // re-scored: no false positives
+  }
+
+  test("brute-force topK returns self-similar ordering") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val out = Similarity.topKForQuery(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "q", 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("multimodal: schema contract, batched stub decode, frame sampling") {
+    val media = Multimodal.syntheticMedia(docs, "text")
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType))
+    assert(metaFields.toSeq ==
+      Multimodal.mediaMetaType.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    val feats = Multimodal.extractFeatures(media, "doc_id", "content",
+      dim = 8, batchSize = 3)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // determinism: same payload → same features (docs 0 and 1 share text)
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(0L) == byId(1L))
+    assert(byId(0L) != byId(3L))
+
+    val frames = Multimodal.sampleFrames(media, "doc_id", "content",
+      frames = 4)
+    assert(frames.count() == docs.count() * 4)
+    assert(frames.columns.toSet ==
+      Set("doc_id", "frame_ix", "frame_bytes"))
+
+    val resized = Multimodal.resize(media, "content", "meta", 16, 2)
+    val r0 = resized.filter($"doc_id" === 0).select("meta.width",
+      "meta.height").collect().head
+    assert(r0.getInt(0) == 16 && r0.getInt(1) == 2)
+  }
+
+  test("quality score separates real sentences from junk") {
+    val good = Seq(("a", base)).toDF("id", "text")
+      .select(TA.qualityScore($"text")).collect().head.getDouble(0)
+    val junk = Seq(("b", "!!! ??? ... ;;; ###")).toDF("id", "text")
+      .select(TA.qualityScore($"text")).collect().head.getDouble(0)
+    assert(good >= 3.0)
+    assert(junk <= 1.0)
+  }
+}
