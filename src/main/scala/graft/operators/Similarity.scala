@@ -66,24 +66,33 @@ object Similarity {
       .drop("rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-1, 1]. Pure column expression, identical on
-    * every executor — no RNG state to ship. */
-  private def planeComponent(plane: Int, dim: Column, seed: Long): Column =
-    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2000001L)) -
-      lit(1000000L)).cast("double") / lit(1000000.0)
+  /** Hyperplane normals are generated driver-side from a fixed seed and
+    * embedded as literal arrays sized to the embedding dimension — identical
+    * on every executor and across runs, and the per-row work is a plain
+    * zip_with dot product (a hash-per-component alternative would cost
+    * nPlanes×dim hash calls per row). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Embedding dimensionality probe: one-row action, negligible at any
+    * corpus size. */
+  def dimOf(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head().getInt(0)
 
   /** `nPlanes` sign bits of random-hyperplane projections packed into one
-    * long — the classic cosine-LSH sketch. */
-  def signBits(vec: Column, nPlanes: Int = 16,
+    * long — the classic cosine-LSH sketch. `dim` must equal the embedding
+    * length (use dimOf). */
+  def signBits(vec: Column, dim: Int, nPlanes: Int = 16,
                seed: Long = 42L): Column = {
     val v = vec.cast("array<double>")
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i, seed)),
-        lit(0.0), _ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    val bits = planes(nPlanes, dim, seed).zipWithIndex.map {
+      case (plane, p) =>
+        val proj = aggregate(
+          zip_with(v, typedLit(plane.toSeq), (x, w) => x * w),
+          lit(0.0), _ + _)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
   }
@@ -94,10 +103,11 @@ object Similarity {
   def annPairs(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nPlanes: Int = 12,
                tables: Int = 4): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
     val withSketch = (0 until tables).map { t =>
       corpus.select(col(idCol), col(vecCol),
         lit(t).as("tbl"),
-        signBits(col(vecCol), nPlanes, seed = 1000L + t).as("sketch"))
+        signBits(col(vecCol), dim, nPlanes, seed = 1000L + t).as("sketch"))
     }.reduce(_ unionAll _)
     val a = withSketch.select(col("tbl"), col("sketch"),
       col(idCol).as("id_a"), col(vecCol).as("va"))
