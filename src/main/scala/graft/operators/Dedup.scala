@@ -75,21 +75,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, n)
-    val sh = maxDocFreq match {
-      case Some(cap) =>
-        val rare = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
-          .filter(col("df_") <= cap).select("sh")
-        sh0.join(rare, Seq("sh"), "left_semi")
-      case None => sh0
-    }
-    val sizes = shingleSizes(sh0, idCol)
-    val a = sh.select(col(idCol).as("id_a"), col("sh"))
-    val b = sh.select(col(idCol).as("id_b"), col("sh"))
-    val common = a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = shingleSizes(sh, idCol)
+    val common = commonCounts(sh, idCol, maxDocFreq)
     common
       .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sh_n").as("n_b")), "id_b")
@@ -98,6 +86,29 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-pair shared-shingle counts via posting lists: group ids per
+    * shingle once, emit in-bucket pairs, count. One pass over the shingle
+    * set (a self-join would compute the whole scan→shingle subtree twice)
+    * and the pair blowup is bounded per bucket by `maxDocFreq` — the
+    * standard stop-phrase cap that keeps hot shingles from going quadratic
+    * at corpus scale. */
+  private def commonCounts(sh: DataFrame, idCol: String,
+                           maxDocFreq: Option[Int]): DataFrame = {
+    val postings = sh.groupBy(col("sh"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped = maxDocFreq match {
+      case Some(cap) => postings.filter(size(col("ids")) <= cap)
+      case None      => postings
+    }
+    capped
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
   }
 
   // --- MinHash + LSH ------------------------------------------------------

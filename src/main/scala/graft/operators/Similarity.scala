@@ -20,12 +20,18 @@ object Similarity {
 
   /** Cosine similarity of two array<double> columns (cast float arrays
     * first: `.cast("array<double>")`). Sequential left-to-right aggregate —
-    * deterministic and oracle-reproducible. */
+    * deterministic and oracle-reproducible. This is the composable
+    * reference form; the operators below use the fused native kernel
+    * `graft.expressions.VectorCosine`, which is bit-identical (same
+    * accumulation order) but allocation-free and codegen'd. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  private def fastCosine(df: DataFrame)(a: Column, b: Column): Column =
+    graft.expressions.VectorCosine.vecCosine(df.sparkSession, a, b)
 
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), _ + _)
@@ -43,7 +49,7 @@ object Similarity {
       .crossJoin(broadcast(query.select(col(qCol).cast("array<double>")
         .as("__q"))))
       .select(col(idCol),
-        cosine(col(vecCol).cast("array<double>"), col("__q")).as("cosine"))
+        fastCosine(corpus)(col(vecCol), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -58,7 +64,7 @@ object Similarity {
       .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
         col(qVecCol).cast("array<double>").as("__q"))))
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol).cast("array<double>"), col("__q")).as("cosine"))
+        fastCosine(corpus)(col(vecCol), col("__q")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -118,8 +124,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .distinct()
       .select(col("id_a"), col("id_b"),
-        cosine(col("va").cast("array<double>"),
-               col("vb").cast("array<double>")).as("cosine"))
+        fastCosine(corpus)(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -132,8 +137,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va").cast("array<double>"),
-               col("vb").cast("array<double>")).as("cosine"))
+        fastCosine(corpus)(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
