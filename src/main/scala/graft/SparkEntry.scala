@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private def suites: Seq[Suite] = Seq(
-    Tpch, OpsRelational, OpsScalar, OpsExtensibility, OpsLlm)
+    Tpch, OpsRelational, OpsScalar, OpsExtensibility, OpsLlm, OpsEvents)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship example (reference

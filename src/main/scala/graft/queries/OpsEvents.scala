@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Functions => Fx}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the events table — the batch formulations of
+  * the patterns a stream pipeline needs (sessionization, funnels, tumbling
+  * windows). The reference is batch-only (SURVEY §1: no streaming), so these
+  * run as ordinary window/agg plans; partitioning is by user/bucket, which
+  * is exactly the state key a streaming port would use.
+  */
+object OpsEvents extends Suite {
+
+  // -- sessionization: 30-minute inactivity gap splits sessions -------------
+  private val sessionize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val withGap = t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+      |    AS new_session FROM g),
+      |x AS (
+      |  SELECT *, sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM m)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 2) AS session_value
+      |FROM x GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  // -- funnel: users who did view → click → purchase in order ---------------
+  private val funnel: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val firsts = t.events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L))
+        .as("n_view_click"),
+      sum(when(col("t_view") < col("t_click") &&
+               col("t_click") < col("t_purchase"), 1L).otherwise(0L))
+        .as("n_full_funnel"))
+  }
+  private val funnelSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+      |      AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+      |      AS t_click,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view,
+      |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click,
+      |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM f""".stripMargin
+
+  // -- tumbling 1-hour windows via date_bin ---------------------------------
+  private val tumbling: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .withColumn("bucket", Fx.date_bin("1 HOUR", col("ts"),
+        lit("2024-01-01 00:00:00").cast("timestamp")))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+  private val tumblingSql =
+    """SELECT make_timestamp(
+      |    ((epoch_us(CAST(ts AS TIMESTAMP))
+      |      - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000)
+      |    * 3600000000
+      |    + epoch_us(TIMESTAMP '2024-01-01 00:00:00')) AS bucket,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS v
+      |FROM events
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "events_sessionize" -> sessionize,
+    "events_funnel" -> funnel,
+    "events_tumbling" -> tumbling)
+
+  def oracle: Map[String, String] = Map(
+    "events_sessionize" -> sessionizeSql,
+    "events_funnel" -> funnelSql,
+    "events_tumbling" -> tumblingSql)
+}
