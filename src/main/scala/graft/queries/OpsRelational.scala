@@ -418,14 +418,16 @@ object OpsRelational extends Suite {
 
   private val exceptQ: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val a = t.customer.select(col("c_custkey").as("k"))
-    val b = t.orders.select(col("o_custkey").as("k"))
+    val a = t.customer.filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("k"))
+    val b = t.customer.filter(col("c_custkey") >= 40)
+      .select(col("c_custkey").as("k"))
     a.except(b).orderBy(col("k"))
   }
   private val exceptSql =
-    """SELECT c_custkey AS k FROM customer
+    """SELECT c_custkey AS k FROM customer WHERE c_custkey < 100
       |EXCEPT
-      |SELECT o_custkey AS k FROM orders
+      |SELECT c_custkey AS k FROM customer WHERE c_custkey >= 40
       |ORDER BY k""".stripMargin
 
   def defs: Map[String, Q] = Map(

@@ -189,13 +189,22 @@ object Tpch extends Suite {
       |  AND l_discount BETWEEN 0.03 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  // -- q7: volume shipping between two nations (double-aliased dim join) ----
+  // -- q7: volume shipping between two trade partners (double-aliased dim
+  //        joins; partner pairing lifted to regions so the query is
+  //        non-degenerate at every scale factor — sf0.001 has only 10
+  //        suppliers over 25 nations) --------------------------------------
   private val q7: Q = (s, dir) => {
     val t = Tables(s, dir)
     val n1 = t.nation.select(col("n_nationkey").as("sn_key"),
-                             col("n_name").as("supp_nation"))
+                             col("n_name").as("supp_nation"),
+                             col("n_regionkey").as("sn_region"))
     val n2 = t.nation.select(col("n_nationkey").as("cn_key"),
-                             col("n_name").as("cust_nation"))
+                             col("n_name").as("cust_nation"),
+                             col("n_regionkey").as("cn_region"))
+    val r1 = t.region.select(col("r_regionkey").as("sr_key"),
+                             col("r_name").as("supp_region"))
+    val r2 = t.region.select(col("r_regionkey").as("cr_key"),
+                             col("r_name").as("cust_region"))
     t.lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
               col("l_shipdate") <= lit("1997-12-31"))
@@ -204,8 +213,10 @@ object Tpch extends Suite {
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .join(broadcast(r1), col("sn_region") === col("sr_key"))
+      .join(broadcast(r2), col("cn_region") === col("cr_key"))
+      .filter((col("supp_region") === "EUROPE" && col("cust_region") === "ASIA") ||
+              (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE"))
       .groupBy(col("supp_nation"), col("cust_nation"),
                year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -216,12 +227,15 @@ object Tpch extends Suite {
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  year(l_shipdate) AS l_year,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2,
+      |     region r1, region r2
       |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
       |  AND c_nationkey = n2.n_nationkey
-      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND n1.n_regionkey = r1.r_regionkey
+      |  AND n2.n_regionkey = r2.r_regionkey
+      |  AND ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+      |    OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
       |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
       |                     AND TIMESTAMP '1997-12-31 00:00:00'
       |GROUP BY supp_nation, cust_nation, l_year
@@ -328,8 +342,9 @@ object Tpch extends Suite {
   private val q11: Q = (s, dir) => {
     val t = Tables(s, dir)
     val n1Supp = t.supplier
-      .join(broadcast(t.nation.filter(col("n_name") === "NATION_9")),
-            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val vals = t.lineitem
       .join(broadcast(n1Supp), col("l_suppkey") === col("s_suppkey"))
@@ -344,15 +359,15 @@ object Tpch extends Suite {
   }
   private val q11Sql =
     """SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
-      |FROM lineitem, supplier, nation
+      |FROM lineitem, supplier, nation, region
       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-      |  AND n_name = 'NATION_9'
+      |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
       |GROUP BY l_partkey
       |HAVING sum(l_extendedprice * l_quantity) >
       |  (SELECT sum(l_extendedprice * l_quantity) * 0.001
-      |   FROM lineitem, supplier, nation
+      |   FROM lineitem, supplier, nation, region
       |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-      |     AND n_name = 'NATION_9')
+      |     AND n_regionkey = r_regionkey AND r_name = 'ASIA')
       |ORDER BY value DESC, l_partkey""".stripMargin
 
   // -- q12: shipping priority classes (join + conditional two-way count) ----
@@ -608,8 +623,9 @@ object Tpch extends Suite {
                 col("l_suppkey") =!= col("l3_suppkey") &&
                 col("l3_shipdate") > col("l_shipdate"), "left_anti")
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t.nation.filter(col("n_name") === "NATION_9")),
-            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -617,7 +633,7 @@ object Tpch extends Suite {
   }
   private val q21Sql =
     """SELECT s_name, count(*) AS numwait
-      |FROM supplier, lineitem l1, orders, nation
+      |FROM supplier, lineitem l1, orders, nation, region
       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
       |  AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
       |  AND EXISTS (SELECT 1 FROM lineitem l2
@@ -627,7 +643,8 @@ object Tpch extends Suite {
       |                  WHERE l3.l_orderkey = l1.l_orderkey
       |                    AND l3.l_suppkey <> l1.l_suppkey
       |                    AND l3.l_shipdate > l1.l_shipdate)
-      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
@@ -643,7 +660,10 @@ object Tpch extends Suite {
       .filter(col("cntrycode").isin(codes: _*))
       .join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      // "no high-value orders" keeps the anti-join non-degenerate at tiny
+      // scale factors, where every customer has at least one order
+      .join(t.orders.filter(col("o_totalprice") > 400000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
            round(sum(col("c_acctbal")), 2).as("totacctbal"))
@@ -657,7 +677,8 @@ object Tpch extends Suite {
       |      WHERE substr(c_name, 16, 2) IN ('10','11','12','13','14','15','16')
       |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
       |                         WHERE c_acctbal > 0.00)) custsale
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_totalprice > 400000.0)
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 

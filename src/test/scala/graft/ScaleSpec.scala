@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/** Scale helpers: salted-join semantics and bucketed shuffle-free joins. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches plain join results on a skewed key") {
+    // 90% of big rows share key 1 (the hot key)
+    val big = (1 to 1000).map(i => (if (i <= 900) 1 else i % 50, i))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(i => (i, s"dim_$i")).toDF("dk", "name")
+    val plain = big.join(small, big("k") === small("dk"))
+      .select("k", "payload", "name").collect()
+      .map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(big, small, "k", "dk", salts = 8)
+      .select("k", "payload", "name").collect()
+      .map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("salt spreads the hot key across partitions deterministically") {
+    val big = (1 to 1000).map(i => (1, i)).toDF("k", "payload")
+    val salts = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts > 1) // hot key fans out over multiple salt values
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+      Scale.writeBucketed(a, "bucketed_a", 4, Seq("k"))
+      Scale.writeBucketed(b, "bucketed_b", 4, Seq("k"))
+      val j = spark.table("bucketed_a")
+        .join(spark.table("bucketed_b"), "k")
+      assert(j.count() == 1000)
+      assert(Scale.isShuffleFree(j),
+        "bucketed join should plan with no Exchange:\n" +
+          j.queryExecution.executedPlan.toString)
+      // contrast: the same join on raw (unbucketed) data does shuffle
+      val raw = a.join(b.withColumnRenamed("vb", "vb2"), "k")
+      assert(!Scale.isShuffleFree(raw))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
