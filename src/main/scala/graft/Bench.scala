@@ -30,6 +30,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-bench split sizing: the sf tables are single ~50 MB parquet
+      // files — the 128 MB default would scan them in 1-3 tasks on a
+      // 32-thread box. At cluster scale (many files) this knob is moot.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
