@@ -75,7 +75,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Int] = None): DataFrame = {
+    // persisted: consumed by both the size and posting aggregations — the
+    // same pattern Spark ML uses for reused intermediates; the context
+    // cleaner reclaims the blocks once the plan's RDDs are GC'd
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingleSizes(sh, idCol)
     val common = commonCounts(sh, idCol, maxDocFreq)
     common
@@ -154,9 +158,13 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.8): DataFrame = {
-    val cands = lshCandidates(
-      minhashSignatures(df, idCol, textCol, n, k), idCol, k, bands)
+    // one shingle pass feeds signatures, sizes, and candidate verification
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val cands = lshCandidates(sig, idCol, k, bands)
     val sizes = shingleSizes(sh, idCol)
     val a = sh.select(col(idCol).as("id_a"), col("sh"))
     val b = sh.select(col(idCol).as("id_b"), col("sh"))
