@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def suites: Seq[Suite] = Seq(
-    Tpch, OpsRelational, OpsScalar, OpsExtensibility, OpsLlm, OpsEvents)
+    Tpch, OpsRelational, OpsScalar, OpsExtensibility, OpsLlm, OpsEvents,
+    OpsSql)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship example (reference

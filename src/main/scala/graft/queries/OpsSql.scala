@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+
+/** SQL pass-through coverage (reference context.rs:166: `ctx.sql` reaches
+  * the full DataFusion SQL dialect — correlated/uncorrelated subqueries,
+  * EXISTS/IN, theta joins). Each query here is ONE dialect-neutral SQL
+  * string executed by `spark.sql` over registered temp views AND used
+  * verbatim as the DuckDB oracle — the strongest possible parity statement
+  * for the SQL surface: same text, two engines, identical results.
+  * Catalyst's subquery decorrelation (SURVEY §4) is what's really under
+  * test on the Spark side. */
+object OpsSql extends Suite {
+
+  private val sqlExistsCorrelated =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey
+      |                AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val sqlNotInSubquery =
+    """SELECT p_partkey FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_discount >= 0.05)
+      |ORDER BY p_partkey""".stripMargin
+
+  private val sqlScalarCorrelated =
+    """SELECT c_custkey FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val sqlThetaJoin =
+    """SELECT n1.n_name AS a, n2.n_name AS b FROM nation n1, nation n2
+      |WHERE n1.n_nationkey < n2.n_nationkey
+      |  AND n1.n_regionkey = n2.n_regionkey
+      |ORDER BY a, b""".stripMargin
+
+  private val sqlInCorrelatedAgg =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |  AND o_totalprice > 450000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  private def q(sql: String): Q = (s, dir) => {
+    Tables(s, dir).registerAll()
+    s.sql(sql)
+  }
+
+  private val all = Map(
+    "sql_exists_correlated" -> sqlExistsCorrelated,
+    "sql_not_in_subquery" -> sqlNotInSubquery,
+    "sql_scalar_correlated" -> sqlScalarCorrelated,
+    "sql_theta_join" -> sqlThetaJoin,
+    "sql_in_subquery" -> sqlInCorrelatedAgg)
+
+  def defs: Map[String, Q] = all.map { case (k, sql) => k -> q(sql) }
+  def oracle: Map[String, String] = all
+}
