@@ -22,7 +22,7 @@ object OpsSql extends Suite {
   private val sqlNotInSubquery =
     """SELECT p_partkey FROM part
       |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
-      |                        WHERE l_discount >= 0.05)
+      |                        WHERE l_quantity = 50.0)
       |ORDER BY p_partkey""".stripMargin
 
   private val sqlScalarCorrelated =
