@@ -13,9 +13,14 @@ class StreamingSpec extends SparkSpec {
 
   test("streamed tumbling-window counts match the batch plan") {
     val t = Tables(spark, sf)
+    // FileStreamSource requires a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema)
-      .parquet(s"$sf/events.parquet")
+      .parquet(dir.toString)
     val streamTs =
       if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
