@@ -53,14 +53,21 @@ object Bench {
       }
     }
 
+    // Two measured passes per query, report the min: the first target-SF run
+    // still pays residual JIT (C2 compilation of the big whole-stage-codegen
+    // functions) and page-cache warming, which otherwise drowns the
+    // round-over-round perf signal in noise.
+    val passes = 2
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        val times = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        }
+        name -> (if (times.forall(_ >= 0)) times.min else -1.0)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

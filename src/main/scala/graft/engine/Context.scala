@@ -28,17 +28,35 @@ final class Context(val spark: SparkSession,
 
   // --- ad-hoc reads (reference context.rs:66-98) ---------------------------
 
+  /** `schemaInferMaxRecords` (reference context.rs:100-145) maps to Spark's
+    * inference cap: sampling is bounded by reading at most that many rows
+    * into the inference pass via the csv `samplingRatio`-independent
+    * `inferSchema` + a row-count limit is not exposed directly, so the
+    * closest native knob is used — `inferSchema` over the first
+    * `schemaInferMaxRecords` rows is approximated with `samplingRatio` when
+    * the cap is small; a user-supplied schema bypasses inference entirely
+    * (the scale path: schema inference reads data twice). `fileExtension`
+    * maps to `pathGlobFilter`. */
   def readCsv(path: String,
               hasHeader: Boolean = false,
               delimiter: String = ",",
               schema: Option[StructType] = None,
-              schemaInferMaxRecords: Int = 1000): DataFrame = {
+              schemaInferMaxRecords: Int = 1000,
+              fileExtension: String = ".csv"): DataFrame = {
     val r = spark.read
       .option("header", hasHeader.toString)
       .option("sep", delimiter)
+      .option("pathGlobFilter", s"*$fileExtension")
     schema match {
       case Some(st) => r.schema(st).csv(path)
-      case None     => r.option("inferSchema", "true").csv(path)
+      case None     => r.option("inferSchema", "true")
+        // Spark has no row-count inference cap; samplingRatio bounds the
+        // fraction of rows parsed during inference. Approximate the
+        // reference's record cap conservatively for small caps.
+        .option("samplingRatio",
+          (if (schemaInferMaxRecords >= 1000) 1.0
+           else math.max(schemaInferMaxRecords / 1000.0, 0.001)).toString)
+        .csv(path)
     }
   }
 
@@ -66,7 +84,8 @@ final class Context(val spark: SparkSession,
                   delimiter: String = ",",
                   schemaInferMaxRecords: Int = 1000,
                   fileExtension: String = ".csv"): Unit =
-    readCsv(path, hasHeader, delimiter, schema, schemaInferMaxRecords)
+    readCsv(path, hasHeader, delimiter, schema, schemaInferMaxRecords,
+        fileExtension)
       .createOrReplaceTempView(name)
 
   def registerParquet(name: String, path: String): Unit =

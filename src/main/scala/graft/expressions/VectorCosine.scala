@@ -19,13 +19,19 @@ import org.apache.spark.sql.types._
   *
   * Numeric contract: accumulates dot and both norms in double, elements
   * visited left-to-right — bit-identical to the composed zip_with/aggregate
-  * form, so swapping it into oracle-checked queries changes nothing.
-  * Zero-norm inputs yield NaN (0/0), same as the composed form.
+  * form, so swapping it into oracle-checked queries changes nothing. That
+  * parity includes the null cases: mismatched lengths yield NULL (zip_with
+  * null-pads the shorter side, nulling the sum) and a null element yields
+  * NULL (null propagates through the aggregate) — not a silent truncation
+  * to min(n). Zero-norm inputs yield NaN (0/0), same as the composed form.
   */
 case class VectorCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null even for non-null inputs: length mismatch / null elements
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -46,14 +52,21 @@ case class VectorCosine(left: Expression, right: Expression)
     case _                       => false
   }
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val aF = elemIsFloat(left); val bF = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x: Double = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y: Double = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -66,21 +79,34 @@ case class VectorCosine(left: Expression, right: Expression)
                                    ev: ExprCode): ExprCode = {
     val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // element null checks are only emitted when the array type can actually
+    // hold nulls, so the containsNull=false hot path stays a pure fused loop
+    val checkNulls = elemNullable(left) || elemNullable(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullCheck = if (checkNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$aGet($i);
-         |  double $y = (double) $b.$bGet($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = (double) $a.$aGet($i);
+         |    double $y = (double) $b.$bGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} =
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} =
-         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

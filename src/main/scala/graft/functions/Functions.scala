@@ -8,7 +8,7 @@ import org.apache.spark.sql.{functions => F}
   * `org.apache.spark.sql.functions` so every function stays inside
   * whole-stage codegen. Where Spark's builtin has different semantics than
   * the reference (reference concat skips NULLs, functions.rs:72-73; numeric
-  * trunc, date_bin, regexp_match array-of-matches, from_unixtime returning a
+  * trunc, date_bin, regexp_match first-match capture groups, from_unixtime returning a
   * timestamp) the gap is closed here with composable expressions — no UDFs,
   * no codegen breaks.
   *
@@ -50,6 +50,12 @@ object Functions {
     * codegen'd. */
   def trunc_numeric(c: Column, digits: Int = 0): Column = {
     val scale = math.pow(10.0, digits)
+    F.signum(c) * F.floor(F.abs(c) * scale) / scale
+  }
+  /** Column-typed digits variant (used by the name-based registry, where the
+    * digit count arrives as an expression). */
+  def trunc_numeric(c: Column, digits: Column): Column = {
+    val scale = F.pow(F.lit(10.0), digits)
     F.signum(c) * F.floor(F.abs(c) * scale) / scale
   }
 
@@ -98,10 +104,23 @@ object Functions {
     F.substring(c, pos, Int.MaxValue)
   def to_hex(c: Column): Column = F.hex(c)
 
-  /** regexp_match: array of matches of `pattern` (reference functions.rs:222;
-    * DataFusion semantics are array-valued) — mapped to regexp_extract_all
-    * with group 0. */
-  def regexp_match(c: Column, pattern: String): Column =
+  /** regexp_match (reference functions.rs:222): PostgreSQL-style FIRST-match
+    * semantics — the array of capture groups of the first match (the whole
+    * match when the pattern has no capture groups); NULL when the pattern
+    * does not match. The group count is read from the literal pattern at
+    * plan time, so this composes into per-group `regexp_extract` calls
+    * guarded by `regexp_like` — all codegen'd builtins. */
+  def regexp_match(c: Column, pattern: String): Column = {
+    val n = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+    val groups = if (n == 0) Seq(0) else 1 to n
+    val arr = F.array(groups.map(g => F.regexp_extract(c, pattern, g)): _*)
+    F.when(F.regexp_like(c, F.lit(pattern)), arr)
+  }
+
+  /** All whole-pattern matches as an array — the companion "find every
+    * occurrence" form (regexp_extract_all group 0), kept under its own name
+    * beside the PostgreSQL-style first-match `regexp_match`. */
+  def regexp_match_all(c: Column, pattern: String): Column =
     F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
   def regexp_replace(c: Column, pattern: String, repl: String): Column =
     F.regexp_replace(c, pattern, repl)
@@ -200,12 +219,16 @@ object Functions {
     * `call_function`, which resolves any builtin. */
   def byName(name: String, args: Column*): Column = name.toLowerCase match {
     case "concat"        => concat(args: _*)
-    case "trunc"         => trunc_numeric(args.head)
+    case "trunc"         =>
+      if (args.length >= 2) trunc_numeric(args.head, args(1))
+      else trunc_numeric(args.head)
     case "ln" | "log"    => F.log(args.head)
     case "from_unixtime" => from_unixtime(args.head)
     case "now"           => now()
     case "current_time"  => current_time()
     case "regexp_match"  =>
+      regexp_match(args.head, litString(args(1), "regexp_match pattern"))
+    case "regexp_match_all" =>
       F.regexp_extract_all(args.head, args(1), F.lit(0))
     case "random"        => F.rand()
     case "count_star"    => count_star()
@@ -215,4 +238,12 @@ object Functions {
     case "arrow_typeof"  => F.typeof(args.head)
     case other           => F.call_function(other, args: _*)
   }
+
+  /** Literal string value of a Column argument — regex patterns must be
+    * known at plan time so the capture-group count can resolve. Uses the
+    * ColumnBridge shim (Spark 4 removed `Column.expr`). */
+  private def litString(c: Column, what: String): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.litString(c).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what must be a string literal, got: $c"))
 }

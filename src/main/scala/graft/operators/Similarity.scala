@@ -111,18 +111,26 @@ object Similarity {
                tables: Int = 4): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val withSketch = (0 until tables).map { t =>
-      corpus.select(col(idCol), col(vecCol),
+      corpus.select(col(idCol),
         lit(t).as("tbl"),
         signBits(col(vecCol), dim, nPlanes, seed = 1000L + t).as("sketch"))
     }.reduce(_ unionAll _)
     val a = withSketch.select(col("tbl"), col("sketch"),
-      col(idCol).as("id_a"), col(vecCol).as("va"))
+      col(idCol).as("id_a"))
     val b = withSketch.select(col("tbl"), col("sketch"),
-      col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("tbl", "sketch"))
+      col(idCol).as("id_b"))
+    // dedup across hash tables on the BARE id pair — the distinct shuffles
+    // 16 bytes per row; carrying the two embedding payloads through it would
+    // multiply shuffle volume by ~dim (the vectors re-attach afterwards via
+    // two id-keyed joins against the corpus, and scoring runs once per
+    // surviving pair instead of once per (pair, table) duplicate)
+    val pairs = a.join(b, Seq("tbl", "sketch"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         fastCosine(corpus)(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)

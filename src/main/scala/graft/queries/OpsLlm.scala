@@ -242,7 +242,11 @@ object OpsLlm extends Suite {
     val media = Multimodal.syntheticMedia(
       t.documents.select(col("doc_id"), col("text")), "text")
     Multimodal.extractFeatures(media, "doc_id", "content", dim = 8)
-      .select(col("doc_id"), col("features"))
+      // serialize the float vector: the driver's pandas compare can't sort
+      // array cells (exact per-element values are asserted in MultimodalSpec)
+      .select(col("doc_id"),
+        array_join(transform(col("features"), _.cast("string")), "|")
+          .as("features_sig"))
       .orderBy(col("doc_id"))
   }
 

@@ -155,20 +155,39 @@ object OpsScalar extends Suite {
       |ORDER BY c_custkey""".stripMargin
 
   // -- regex battery --------------------------------------------------------
+  // Array-valued regexp results are serialized through array_join on both
+  // sides: the driver's checker hash-compares pandas frames and cannot sort
+  // array cells. The array ops stay under test — '|'-joined group lists are a
+  // bijection of the arrays for these inputs. Covers regexp_match's
+  // PostgreSQL first-match semantics: no-group pattern (whole match),
+  // multi-group pattern (group captures), and the NULL-on-no-match contract.
   private val fnRegex: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.customer.filter(col("c_custkey") < 200)
       .select(col("c_custkey"), col("c_name"),
         Fx.regexp_replace(col("c_name"), "0", "_").as("rr_v"),
         regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("re_v"),
-        Fx.regexp_match(col("c_name"), "\\d\\d").as("rm_v"))
+        array_join(Fx.regexp_match(col("c_name"), "\\d\\d"), "|").as("rm0_v"),
+        array_join(Fx.regexp_match(col("c_name"), "(C\\w+)#(\\d+)"), "|")
+          .as("rm2_v"),
+        array_join(Fx.regexp_match(col("c_name"), "zzz(\\d+)"), "|")
+          .as("rmnull_v"),
+        array_join(Fx.regexp_match_all(col("c_name"), "\\d\\d"), "|")
+          .as("rma_v"))
       .orderBy(col("c_custkey"))
   }
   private val fnRegexSql =
     """SELECT c_custkey, c_name,
       |  regexp_replace(c_name, '0', '_', 'g') AS rr_v,
       |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS re_v,
-      |  regexp_extract_all(c_name, '\d\d') AS rm_v
+      |  CASE WHEN regexp_matches(c_name, '\d\d')
+      |       THEN regexp_extract(c_name, '\d\d', 0) END AS rm0_v,
+      |  CASE WHEN regexp_matches(c_name, '(C\w+)#(\d+)')
+      |       THEN regexp_extract(c_name, '(C\w+)#(\d+)', 1) || '|' ||
+      |            regexp_extract(c_name, '(C\w+)#(\d+)', 2) END AS rm2_v,
+      |  CASE WHEN regexp_matches(c_name, 'zzz(\d+)')
+      |       THEN regexp_extract(c_name, 'zzz(\d+)', 1) END AS rmnull_v,
+      |  array_to_string(regexp_extract_all(c_name, '\d\d'), '|') AS rma_v
       |FROM customer WHERE c_custkey < 200
       |ORDER BY c_custkey""".stripMargin
 
@@ -364,13 +383,23 @@ object OpsScalar extends Suite {
       |  l_extendedprice""".stripMargin
 
   // -- arrays (make_array + element access, §2.8/§2.9) ----------------------
+  // Array cells can't survive the driver's pandas hash-compare, so the array
+  // ops are gated through two serializations that keep them fully under
+  // test: an integer-element array '|'-joined (bigint→string renders
+  // identically in Spark and DuckDB; double→string does not), and the
+  // double-element array checked by element extraction back to scalar
+  // doubles (bit-exact through parquet on both sides).
   private val fnArray: Q = (s, dir) => {
     val t = Tables(s, dir)
+    val darr = Fx.make_array(col("l_quantity"), col("l_tax"), col("l_discount"))
     t.lineitem.filter(col("l_orderkey") < 100)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
-        Fx.make_array(col("l_quantity"), col("l_tax"), col("l_discount"))
-          .as("arr_v"),
+        array_join(transform(Fx.make_array(col("l_orderkey"),
+          col("l_partkey"), col("l_suppkey")), _.cast("string")), "|")
+          .as("arri_v"),
+        element_at(darr, 1).as("arr_q"),
+        element_at(darr, 3).as("arr_d"),
         element_at(Fx.make_array(col("l_quantity"), col("l_tax")), 2)
           .as("elem_v"),
         size(Fx.make_array(col("l_quantity"), col("l_tax"))).as("size_v"))
@@ -380,7 +409,9 @@ object OpsScalar extends Suite {
   private val fnArraySql =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
       |  l_extendedprice,
-      |  [l_quantity, l_tax, l_discount] AS arr_v,
+      |  array_to_string([l_orderkey, l_partkey, l_suppkey], '|') AS arri_v,
+      |  [l_quantity, l_tax, l_discount][1] AS arr_q,
+      |  [l_quantity, l_tax, l_discount][3] AS arr_d,
       |  [l_quantity, l_tax][2] AS elem_v,
       |  CAST(len([l_quantity, l_tax]) AS INT) AS size_v
       |FROM lineitem WHERE l_orderkey < 100

@@ -13,11 +13,16 @@ import org.apache.spark.sql.DataFrame
   * intact.
   *
   * Scale notes (100 TB design): every query is pure DataFrame composition —
-  * Catalyst handles pushdown/pruning; dimension tables (region/nation/
-  * supplier/part/customer) are broadcast explicitly so only the fact tables
-  * (lineitem/orders) ever shuffle; aggregates are partial→final by
+  * Catalyst handles pushdown/pruning. Broadcast policy: explicit
+  * `broadcast()` hints are reserved for sides whose size is BOUNDED
+  * regardless of scale factor — region (5 rows), nation (25), and one-row /
+  * per-nation scalar aggregates. customer/supplier/part grow linearly with
+  * SF, so their join strategy is left to CBO + AQE: at small SF the planner
+  * still picks broadcast from observed sizes, and at the 100 TB shape it
+  * degrades to shuffle joins instead of OOMing every executor on a forced
+  * multi-hundred-GB broadcast. Aggregates are partial→final by
   * construction; correlated subqueries are decorrelated by hand into
-  * broadcast joins against small aggregates (never a driver-side collect).
+  * joins against small aggregates (never a driver-side collect).
   * Double-typed aggregates are rounded identically in BOTH the DataFrame and
   * oracle SQL so the hash compare is robust to summation order across 1000
   * executors.
@@ -95,7 +100,7 @@ object Tpch extends Suite {
     val ord  = t.orders.filter(col("o_orderdate") < lit("1997-03-15"))
     val li   = t.lineitem.filter(col("l_shipdate") > lit("1997-03-15"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
@@ -145,8 +150,8 @@ object Tpch extends Suite {
       .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
                             col("o_orderdate") <  lit("1997-01-01")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t.customer),
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer,
             col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
@@ -209,8 +214,8 @@ object Tpch extends Suite {
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
               col("l_shipdate") <= lit("1997-12-31"))
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
       .join(broadcast(r1), col("sn_region") === col("sr_key"))
@@ -249,16 +254,16 @@ object Tpch extends Suite {
     val n2 = t.nation.select(col("n_nationkey").as("sn_key"),
                              col("n_name").as("supp_nation"))
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")),
+      .join(t.part.filter(col("p_type") === "ECONOMY"),
             col("l_partkey") === col("p_partkey"))
       .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
                             col("o_orderdate") <= lit("1997-12-31")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
       .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
             col("cn_region") === col("r_regionkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
@@ -289,9 +294,9 @@ object Tpch extends Suite {
   private val q9: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_name").like("%red%"))),
+      .join(t.part.filter(col("p_name").like("%red%")),
             col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -317,7 +322,7 @@ object Tpch extends Suite {
       .join(t.orders.filter(col("o_orderdate") >= lit("1996-10-01") &&
                             col("o_orderdate") <  lit("1997-01-01")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -347,7 +352,7 @@ object Tpch extends Suite {
             col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val vals = t.lineitem
-      .join(broadcast(n1Supp), col("l_suppkey") === col("s_suppkey"))
+      .join(n1Supp, col("l_suppkey") === col("s_suppkey"))
       .withColumn("val", col("l_extendedprice") * col("l_quantity"))
     val total = vals.agg(sum(col("val")).as("total_val"))
     vals.groupBy(col("l_partkey"))
@@ -426,7 +431,7 @@ object Tpch extends Suite {
     t.lineitem
       .filter(col("l_shipdate") >= lit("1996-09-01") &&
               col("l_shipdate") <  lit("1996-10-01"))
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .agg(round(
         sum(when(col("p_type") === "ECONOMY", rev).otherwise(0.0)) * 100.0
           / sum(rev), 4).as("promo_revenue"))
@@ -451,7 +456,7 @@ object Tpch extends Suite {
         .as("total_revenue"))
     val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     t.supplier
-      .join(broadcast(revenue), col("s_suppkey") === col("supplier_no"))
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
       .join(broadcast(maxRev))
       .filter(col("total_revenue") === col("max_revenue"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
@@ -477,10 +482,10 @@ object Tpch extends Suite {
     val badSupp = t.supplier.filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#1" &&
-              col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+      .join(t.part.filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
             col("l_partkey") === col("p_partkey"))
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"),
             "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -505,7 +510,7 @@ object Tpch extends Suite {
     val partAvg = t.lineitem.groupBy(col("l_partkey").as("pa_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_brand") === "Brand#3")),
+      .join(t.part.filter(col("p_brand") === "Brand#3"),
             col("l_partkey") === col("p_partkey"))
       .join(partAvg, col("l_partkey") === col("pa_partkey"))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
@@ -528,7 +533,7 @@ object Tpch extends Suite {
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .join(bigOrders, col("o_orderkey") === col("bo_orderkey"), "left_semi")
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
                col("o_orderdate"), col("o_totalprice"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -550,7 +555,7 @@ object Tpch extends Suite {
   private val q19: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
          col("l_quantity").between(1, 11)) ||
@@ -580,14 +585,14 @@ object Tpch extends Suite {
     val bigShippers = t.lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
               col("l_shipdate") <  lit("1997-01-01"))
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+      .join(redParts, col("l_partkey") === col("p_partkey"),
             "left_semi")
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("ship_qty"))
       .filter(col("ship_qty") > 50)
       .select(col("l_suppkey"))
     t.supplier
-      .join(broadcast(bigShippers), col("s_suppkey") === col("l_suppkey"),
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"),
             "left_semi")
       .select(col("s_name"), col("s_acctbal"))
       .orderBy(col("s_name"))
@@ -622,7 +627,7 @@ object Tpch extends Suite {
       .join(l3, col("l_orderkey") === col("l3_orderkey") &&
                 col("l_suppkey") =!= col("l3_suppkey") &&
                 col("l3_shipdate") > col("l_shipdate"), "left_anti")
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))

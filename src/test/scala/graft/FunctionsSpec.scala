@@ -73,11 +73,30 @@ class FunctionsSpec extends SparkSpec {
     assert(b == "2023-12-31 23:00:00")
   }
 
-  test("regexp_match returns all matches as an array") {
+  test("regexp_match: first-match capture groups, PostgreSQL semantics") {
     val df = Seq("a1b22c333").toDF("s")
-    val arr = df.select(Fx.regexp_match($"s", "\\d+")).collect()
-      .head.getSeq[String](0)
-    assert(arr == Seq("1", "22", "333"))
+    // no capture groups -> [whole first match]
+    assert(df.select(Fx.regexp_match($"s", "\\d+")).collect()
+      .head.getSeq[String](0) == Seq("1"))
+    // capture groups -> groups of the FIRST match only
+    assert(df.select(Fx.regexp_match($"s", "([a-z])(\\d+)")).collect()
+      .head.getSeq[String](0) == Seq("a", "1"))
+    // no match -> NULL (not empty array)
+    assert(df.select(Fx.regexp_match($"s", "z(\\d+)")).collect().head.isNullAt(0))
+  }
+
+  test("regexp_match_all returns every whole-pattern match") {
+    val df = Seq("a1b22c333").toDF("s")
+    assert(df.select(Fx.regexp_match_all($"s", "\\d+")).collect()
+      .head.getSeq[String](0) == Seq("1", "22", "333"))
+  }
+
+  test("byName regexp_match / trunc-with-digits registry forms") {
+    val df = Seq(("a1b22", -3.567)).toDF("s", "d")
+    assert(df.select(Fx.byName("regexp_match", $"s", lit("([a-z])(\\d+)")))
+      .collect().head.getSeq[String](0) == Seq("a", "1"))
+    assert(df.select(Fx.byName("trunc", $"d", lit(2))).collect()
+      .head.getDouble(0) == -3.56)
   }
 
   test("split_part / left / right / strpos / substr parity basics") {

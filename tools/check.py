@@ -16,13 +16,21 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+class ArrayColumnError(Exception):
+    """Mirrors the driver's gate, which dies on array-typed cells
+    ('unhashable numpy.ndarray' in its pandas sort). Gated queries must
+    serialize arrays (array_join / array_to_string) on both sides."""
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # Canonicalize values for comparison across duckdb/spark type systems.
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                              hasattr(v, "__len__") and not isinstance(v, (str, bytes, dict)) else v)
+            s = df[c].dropna()
+            if len(s) and not isinstance(s.iloc[0], (str, bytes, dict)) \
+                    and hasattr(s.iloc[0], "__len__"):
+                raise ArrayColumnError(
+                    f"column '{c}' holds array cells; the driver gate cannot "
+                    "compare these — serialize to string in the gated query")
     return df.reset_index(drop=True)
 
 def main():
@@ -47,6 +55,12 @@ def main():
             results[name] = f"READ-FAIL {e}"
             continue
         if name not in oracles:
+            # the driver reads rows-only dumps too — array cells break it there
+            try:
+                norm(got)
+            except ArrayColumnError as ae:
+                results[name] = f"ARRAY-COLUMN {ae}"
+                continue
             results[name] = f"rows-only rows={len(got)}" + \
                 (" EMPTY!" if len(got) == 0 else "")
             continue
@@ -55,7 +69,11 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {e}"
             continue
-        g, e = norm(got), norm(exp)
+        try:
+            g, e = norm(got), norm(exp)
+        except ArrayColumnError as ae:
+            results[name] = f"ARRAY-COLUMN {ae}"
+            continue
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
             continue
