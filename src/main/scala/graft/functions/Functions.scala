@@ -132,19 +132,23 @@ object Functions {
   def sha384(c: Column): Column = F.sha2(c, 384)
   def sha512(c: Column): Column = F.sha2(c, 512)
 
-  /** `digest(value, method)` (reference functions.rs:62-70). blake2b/blake2s/
-    * blake3 are not provided by the JVM or Spark; they are documented as
-    * environment-unsupported (like the reference's own JSON support,
-    * reference OLDREADME.md:36). */
+  /** `digest(value, method)` (reference functions.rs:62-70). blake2b/blake2s
+    * are native Catalyst expressions implemented from RFC 7693 (the JVM has
+    * no provider and no library may be added — see
+    * graft.expressions.Blake2). blake3 is a different, non-RFC algorithm
+    * and remains documented-unsupported (the same class of gap as the
+    * reference's own JSON support, reference OLDREADME.md:36). */
   def digest(c: Column, method: String): Column = method.toLowerCase match {
     case "md5"     => F.md5(c)
     case "sha224"  => F.sha2(c, 224)
     case "sha256"  => F.sha2(c, 256)
     case "sha384"  => F.sha2(c, 384)
     case "sha512"  => F.sha2(c, 512)
-    case m @ ("blake2b" | "blake2s" | "blake3") =>
+    case "blake2b" => graft.expressions.Blake2.blake2b(c.cast("binary"))
+    case "blake2s" => graft.expressions.Blake2.blake2s(c.cast("binary"))
+    case "blake3"  =>
       throw new UnsupportedOperationException(
-        s"digest method $m is not available on the JVM (documented gap)")
+        "digest method blake3 is not available (documented gap)")
     case m => throw new IllegalArgumentException(s"unknown digest method $m")
   }
 

@@ -213,7 +213,10 @@ object OpsScalar extends Suite {
         Fx.sha224(col("c_name")).as("sha224_v"),
         Fx.sha384(col("c_name")).as("sha384_v"),
         Fx.sha512(col("c_name")).as("sha512_v"),
-        Fx.digest(col("c_name"), "sha512").as("digest_v"))
+        Fx.digest(col("c_name"), "sha512").as("digest_v"),
+        // RFC 7693 kernels (no DuckDB twin; RFC vectors in Blake2Spec)
+        Fx.digest(col("c_name"), "blake2b").as("blake2b_v"),
+        Fx.digest(col("c_name"), "blake2s").as("blake2s_v"))
       .orderBy(col("c_custkey"))
   }
 

@@ -45,6 +45,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram doc-frequency cap drops hot-shingle pairs explicitly") {
+    // every shingle in docs 0/1 is shared by >= 2 docs; cap=1 drops them all
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = Some(1))
+      .collect()
+    assert(capped.isEmpty)
+    // an uncapped (None) run restores the exact computation
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = None)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)))
+    // the default cap (500) leaves natural-text results identical to exact
+    val default = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == uncapped)
+  }
+
   test("minhash LSH recalls the exact jaccard pairs on planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.8)
