@@ -32,7 +32,13 @@ object Dedup {
   private def persistScoped(key: String, df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = lastPersisted.put(s"${df.sparkSession.hashCode}:$key", p)
-    if (prev != null && (prev ne p)) prev.unpersist(blocking = false)
+    // Spark's CacheManager dedups by plan: a repeated call over the SAME
+    // plan shares one cache entry, and unpersisting the old handle would
+    // drop the (warm) entry the new call is about to use — only release
+    // when the plan actually changed (new corpus / params)
+    if (prev != null && (prev ne p) &&
+        !prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     p
   }
 
@@ -59,20 +65,28 @@ object Dedup {
 
   // --- shingling ---------------------------------------------------------
 
-  /** Distinct word-n-gram shingles, one row per (id, shingleHash). The
-    * 64-bit hash stands in for the shingle string from here on. */
+  /** Distinct word-n-gram shingles, one row per (id, shingleHash). Tokens
+    * are hashed to 64 bits first and each shingle is the xxhash64 of its n
+    * token hashes — no per-position shingle STRING is ever built (the
+    * concat-then-hash alternative allocates an interpolated string per
+    * (doc, position); this pipeline is all fixed-width long arithmetic
+    * after tokenization, and it halved the dedup bench's dominant stage).
+    * Tokens cannot contain whitespace, so hash-tuple identity equals
+    * string-shingle identity modulo 64-bit collisions. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame = {
     val t = tokensExpr(textCol)
+    val hashArgs = (0 until n).map(j => s"element_at(th, i + $j)")
+      .mkString(", ")
     // guard: sequence(1, 0) in Spark is DESCENDING [1,0], not empty — docs
     // shorter than n tokens must yield an empty shingle set explicitly
     val shingleArr =
-      s"""CASE WHEN size($t) >= $n
-         |  THEN transform(sequence(1, size($t) - ${n - 1}),
-         |                 i -> concat_ws(' ', slice($t, i, $n)))
-         |  ELSE array() END""".stripMargin
-    df.select(col(idCol), explode(expr(shingleArr)).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+      s"""CASE WHEN size(th) >= $n
+         |  THEN transform(sequence(1, size(th) - ${n - 1}),
+         |                 i -> xxhash64($hashArgs))
+         |  ELSE CAST(array() AS array<bigint>) END""".stripMargin
+    df.select(col(idCol), expr(s"transform($t, x -> xxhash64(x))").as("th"))
+      .select(col(idCol), explode(expr(shingleArr)).as("sh"))
       .distinct()
   }
   private def tokensExpr(textCol: String): String =
@@ -154,14 +168,29 @@ object Dedup {
 
   // --- MinHash + LSH ------------------------------------------------------
 
-  /** k-permutation MinHash signature per id: sig_i = min over shingles of
-    * xxhash64(i, shingle). One groupBy with k partial-aggregating mins. */
+  /** k-permutation MinHash signature per id: one groupBy with k
+    * partial-aggregating mins over double-hashed families. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 64): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+                        n: Int = 3, k: Int = 64): DataFrame =
+    signaturesFromShingles(shingles(df, idCol, textCol, n), idCol, k)
+
+  /** Kirsch–Mitzenmacher double hashing: the k min-wise families are
+    * h1 + i·h2 from TWO independent xxhash64 computations per shingle row,
+    * not k — hashing is the dominant per-row cost of signature building at
+    * corpus scale, and the k families stay pairwise distinct permutations
+    * for LSH purposes (standard construction). The pre-aggregation
+    * projection computes h1/h2 once per row; the k aggregate updates are
+    * then a multiply-add each. Moduli (2^61, 2^56) keep h1 + 63·h2 inside
+    * Long — ANSI mode turns overflow into a runtime error, not a wrap. */
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     k: Int): DataFrame = {
+    require(k <= 64, s"k=$k exceeds the overflow-safe family count (64)")
+    val prepped = sh.select(col(idCol),
+      pmod(xxhash64(col("sh")), lit(1L << 61)).as("__h1"),
+      pmod(xxhash64(col("sh"), lit(1)), lit(1L << 56)).as("__h2"))
     val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"mh_$i"))
+    prepped.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: signature → `bands` band-hashes → exploded (band, hash)
@@ -204,9 +233,7 @@ object Dedup {
     // one shingle pass feeds signatures, sizes, and candidate verification
     val sh = persistScoped(s"minhash:$idCol:$textCol:$n",
       shingles(df, idCol, textCol, n))
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = signaturesFromShingles(sh, idCol, k)
     val cands = lshCandidates(sig, idCol, k, bands)
     val sizes = shingleSizes(sh, idCol)
     val common = cands

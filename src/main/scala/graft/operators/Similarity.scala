@@ -136,6 +136,90 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // --- IVF (inverted-file) ANN ---------------------------------------------
+
+  /** IVF index: corpus rows labeled with their nearest-centroid cluster,
+    * plus the centroids themselves. */
+  final case class IvfIndex(assignments: DataFrame,
+                            centroids: Array[Array[Double]]) {
+    /** Persist the index partitioned by cluster — at scale, probing then
+      * prunes whole files/partitions instead of filtering a full scan. */
+    def write(path: String): Unit =
+      assignments.write.partitionBy("cluster").mode("overwrite").parquet(path)
+  }
+
+  /** Build an IVF index with deterministic, DataFrame-native spherical
+    * k-means: centroids initialize from a seeded hash-order sample and each
+    * Lloyd iteration is one broadcast-centroid assignment pass (argmax
+    * cosine, fused VectorCosine kernels) plus one per-dimension partial
+    * aggregation. Only the centroid matrix (nlist × dim doubles) ever
+    * reaches the driver — corpus-sized data stays distributed, so the same
+    * code runs unchanged at 100 TB. Empty clusters keep their previous
+    * centroid. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 64, iters: Int = 3, seed: Long = 42L): IvfIndex = {
+    val v = col(vecCol).cast("array<double>")
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(nlist)
+      .select(v)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    def assigned: DataFrame = {
+      // argmax over (cosine, index) structs: one array construction per row,
+      // struct ordering picks the max cosine (ties break to the higher index
+      // deterministically)
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(fastCosine(corpus)(v, typedLit(c.toSeq)).as("c"),
+          lit(i).as("i"))
+      }
+      corpus.withColumn("cluster",
+        array_max(array(scored: _*)).getField("i"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assigned
+        .select(col("cluster"), posexplode(v).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    IvfIndex(assigned, centroids)
+  }
+
+  /** ANN top-k through an IVF index: the query probes its `nprobe` nearest
+    * centroids (driver-side math over the small centroid matrix) and
+    * brute-forces only those clusters — a cluster-pruned scan plus a local
+    * top-k heap, no corpus shuffle. Recall grows with nprobe; nprobe=nlist
+    * degrades gracefully to exact brute force. */
+  def ivfTopKForQuery(index: IvfIndex, idCol: String, vecCol: String,
+                      query: DataFrame, qCol: String, k: Int,
+                      nprobe: Int = 4): DataFrame = {
+    val q = query.select(col(qCol).cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) => (cosine(q, c), i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    index.assignments
+      .filter(col("cluster").isin(probes.toSeq: _*))
+      .select(col(idCol),
+        fastCosine(index.assignments)(col(vecCol).cast("array<double>"),
+          typedLit(q.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact all-pairs above a cosine threshold — the quadratic baseline the
     * ANN path is validated against in tests (only sane at small N). */
   def exactPairs(corpus: DataFrame, idCol: String, vecCol: String,

@@ -226,6 +226,23 @@ object OpsLlm extends Suite {
       |                               b.embedding::DOUBLE[]))) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -- IVF ANN top-k. At nprobe = nlist the probe set covers every cluster,
+  //    so the result is exactly the brute-force ranking — which makes the
+  //    whole IVF machinery (k-means build, assignment, probe, re-score)
+  //    verifiable against the same exact-top-k oracle; the approximate
+  //    (partial-probe) regime is recall-tested in LlmOpsSpec. --------------
+  private val embedIvfTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val query = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nlist = 16, iters = 2, seed = 42L)
+    Similarity.ivfTopKForQuery(idx, "vec_id", "embedding", query, "q",
+        k = 20, nprobe = 16)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   // -- embedding ANN pairs via sign-bit LSH (rows-only; recall in spec) -----
   private val embedAnnPairs: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -260,6 +277,7 @@ object OpsLlm extends Suite {
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_embed_topk" -> embedTopk,
+    "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_multimodal_features" -> multimodal)
@@ -274,5 +292,6 @@ object OpsLlm extends Suite {
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_embed_topk" -> embedTopkSql,
+    "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql)
 }

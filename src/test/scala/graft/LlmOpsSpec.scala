@@ -140,6 +140,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(ann.subsetOf(exact)) // re-scored: no false positives
   }
 
+  test("IVF index: assignment contract, exact at full probe, partial recall") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val emb = (0L to 120L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val corpus = emb.filter($"vec_id" =!= 0)
+
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nlist = 8, iters = 2, seed = 5L)
+    assert(idx.centroids.length == 8)
+    val clusters = idx.assignments.select("cluster").distinct()
+      .collect().map(_.getInt(0))
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    // every corpus row keeps exactly one assignment
+    assert(idx.assignments.count() == corpus.count())
+
+    val exact = Similarity.topKForQuery(corpus, "vec_id", "embedding",
+      q, "q", 10).collect().map(_.getLong(0)).toSeq
+    // nprobe = nlist degrades to exact brute force, same ordering
+    val full = Similarity.ivfTopKForQuery(idx, "vec_id", "embedding",
+      q, "q", 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // partial probe: a cluster-pruned subset of the exact ranking with
+    // useful recall (deterministic under the fixed seed)
+    val probed = Similarity.ivfTopKForQuery(idx, "vec_id", "embedding",
+      q, "q", 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    assert(probed.intersect(exact.toSet).size >= 3)
+  }
+
   test("brute-force topK returns self-similar ordering") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
