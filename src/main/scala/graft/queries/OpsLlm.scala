@@ -110,6 +110,75 @@ object OpsLlm extends Suite {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // -- end-to-end curation pipeline: the composition a training-data corpus
+  //    actually runs — score (language, quality, tokens) → filter → exact
+  //    dedup (fingerprint, min-id survivor) → per-tier corpus stats. Every
+  //    stage is the already-oracle-verified operator; the pipeline gates the
+  //    COMPOSITION (filter pushdown through the dedup semi-join, agg over
+  //    the surviving set) against a DuckDB twin built from the same pieces.
+  private val pipelineCurate: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = col("text")
+    val scored = t.documents.select(col("doc_id"), c,
+      TA.langId(c).as("lang_pred"),
+      TA.qualityScore(c).as("quality"),
+      TA.tokenCount(c).as("n_tok"))
+    val kept = scored
+      .filter(col("lang_pred") === "en" && col("quality") >= 3.0)
+      .withColumn("fp", TA.fingerprint(c))
+    val deduped = Dedup.exact(kept, Seq("fp"), "doc_id")
+    deduped.groupBy(col("quality"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tok")).cast("long").as("tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("quality"))
+  }
+  private val pipelineCurateSql = {
+    val m = TA.langMarkers.toMap
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, n_tok,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS lang_pred,
+       |    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |      AS quality
+       |  FROM (SELECT doc_id, text,
+       |    ${scoreSql(m("en"))} AS s_en,
+       |    ${scoreSql(m("de"))} AS s_de,
+       |    ${scoreSql(m("fr"))} AS s_fr,
+       |    ${scoreSql(m("es"))} AS s_es,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1) AS punct_r,
+       |    CAST(len(regexp_extract_all(lower(text), '$enMarkers')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS stop_r,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS wlen
+       |    FROM documents)
+       |), kept AS (
+       |  SELECT doc_id, n_tok, quality,
+       |    md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ',
+       |      'g'))) AS fp
+       |  FROM scored WHERE lang_pred = 'en' AND quality >= 3.0
+       |), surv AS (
+       |  SELECT k.doc_id, k.n_tok, k.quality FROM kept k
+       |  JOIN (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp) g
+       |    ON k.fp = g.fp AND k.doc_id = g.keep_id
+       |)
+       |SELECT quality, CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM surv GROUP BY quality ORDER BY quality""".stripMargin
+  }
+
   // -- fingerprint dup groups ----------------------------------------------
   private val fingerprintGroups: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -272,6 +341,7 @@ object OpsLlm extends Suite {
     "llm_lang_id" -> langId,
     "llm_quality" -> quality,
     "llm_fingerprint_groups" -> fingerprintGroups,
+    "llm_pipeline_curate" -> pipelineCurate,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_dedup_minhash" -> dedupMinhash,
@@ -287,6 +357,7 @@ object OpsLlm extends Suite {
     "llm_lang_id" -> langIdSql,
     "llm_quality" -> qualitySql,
     "llm_fingerprint_groups" -> fingerprintGroupsSql,
+    "llm_pipeline_curate" -> pipelineCurateSql,
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_ngram" -> dedupNgramSql,
     "llm_dedup_minhash" -> dedupNgramSql
