@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the events pipeline — the streaming
+  * twins of the batch OpsEvents queries, built on the engine's state-store
+  * primitives so the same logic runs over an unbounded source:
+  *
+  *  - tumbling window aggregation: watermark + `window()` groupBy — state is
+  *    bounded by the watermark, partial aggregation happens map-side exactly
+  *    as in batch;
+  *  - exact dedup: `dropDuplicates` keyed on (keys, event-time) under a
+  *    watermark, so the dedup state ages out instead of growing forever;
+  *  - gap sessionization: custom per-key state via flatMapGroupsWithState —
+  *    the canonical "semantics Spark's built-ins can't express" case
+  *    (SURVEY §7 preference (c) applies to plans; for streaming state the
+  *    blessed extension point is the GroupState API, used here).
+  *
+  * Scale design: every operator keys state by a high-cardinality column
+  * (user, dedup key) so the state store shards evenly across executors;
+  * watermarks bound state size; nothing ever collects to the driver.
+  */
+object StreamOps {
+
+  /** Input projection for sessionization. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session accumulator kept in the state store (µs timestamps). */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, value: Double)
+
+  /** Emitted closed session. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     session_value: Double)
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Tumbling-window event counts under a watermark — streaming twin of the
+    * batch date_bin aggregation (OpsEvents events_tumbling). */
+  def tumblingCounts(events: DataFrame, windowDur: String,
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup: duplicates of (keys) arriving within the
+    * watermark horizon are dropped; keying the state on the event-time
+    * column as well lets the store evict aged entries — without it the
+    * state grows with every distinct key forever. */
+  def dedupExact(events: DataFrame, keys: Seq[String],
+                 eventTimeCol: String = "ts",
+                 watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicates(keys :+ eventTimeCol)
+
+  /** Gap sessionization with custom state: events group per user; a session
+    * closes when the event-time gap exceeds `gapMinutes` (emitted from the
+    * batch-side split) or when the watermark passes the session end + gap
+    * (emitted by event-time timeout). Append-mode output — each session is
+    * emitted exactly once, when it can no longer grow. Mirrors the batch
+    * window/lag formulation in OpsEvents.sessionize. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session can't grow — emit
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(user, tsOf(s.startUs), tsOf(s.endUs), s.n, s.value))
+          } else {
+            // merge this batch's events (sorted by event time) into the
+            // open session, splitting on gaps; emit every closed session
+            val evs = it.toIndexedSeq.sortBy(e => usOf(e.ts))
+            var closed = List.empty[Session]
+            var open = state.getOption
+            evs.foreach { e =>
+              val t = usOf(e.ts)
+              open match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, t),
+                    s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, tsOf(s.startUs), tsOf(s.endUs),
+                    s.n, s.value)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // must be beyond the current watermark or the store rejects it
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  s.endUs / 1000L + gapMs))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

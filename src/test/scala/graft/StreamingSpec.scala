@@ -11,6 +11,112 @@ import org.apache.spark.sql.streaming.Trigger
   * this pipeline would use. */
 class StreamingSpec extends SparkSpec {
 
+  /** Stage the single events.parquet into a directory (FileStreamSource
+    * requires one), converting nanos→µs timestamps like Tables.events. */
+  private def stagedEventsStream(extraFiles: Seq[java.nio.file.Path] = Nil)
+      : (org.apache.spark.sql.DataFrame, java.nio.file.Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("00-events.parquet"))
+    extraFiles.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f, dir.resolve(s"0${i + 1}-extra.parquet"))
+    }
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val streamTs =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    (streamTs, dir)
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch plan") {
+    import spark.implicits._
+    val t = Tables(spark, sf)
+    // sentinel file: one far-future event for a user id outside the data —
+    // its arrival advances the watermark past every real session's
+    // (end + gap), firing the event-time timeouts that close them
+    val maxTs = t.events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+    val sentinelUser = -1L
+    val sentinelFile = java.nio.file.Files.createTempDirectory("graft-sentinel")
+    val rawIsLong = spark.read.parquet(s"$sf/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val sentinel = Seq((999999999L, sentinelTs, sentinelUser, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinelCast = if (rawIsLong)
+      sentinel.withColumn("ts", expr("unix_micros(ts) * 1000")) else sentinel
+    sentinelCast.coalesce(1).write.mode("overwrite")
+      .parquet(sentinelFile.resolve("s").toString)
+    val sentinelParquet = java.nio.file.Files
+      .list(sentinelFile.resolve("s")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+
+    val (stream, _) = stagedEventsStream(
+      Seq(java.nio.file.Paths.get(sentinelParquet)))
+    val sessions = graft.streaming.StreamOps.sessionize(
+      stream, gapMinutes = 30, watermarkDelay = "10 seconds")
+    val qname = "stream_sess_" + System.nanoTime()
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(qname)
+        .filter(col("user_id") =!= sentinelUser)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), math.rint(r.getDouble(4) * 1e6)))
+        .toSet
+      // batch twin: the OpsEvents lag/window formulation at the same gap
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val batch = t.events
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(byUser
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value")).as("session_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), math.rint(r.getDouble(4) * 1e6)))
+        .toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops duplicate events within the watermark") {
+    val (stream, _) = stagedEventsStream()
+    // the staged file read twice would dup everything; within one file,
+    // dedup on (user_id, event_type, ts) must match batch distinct
+    val dd = graft.streaming.StreamOps.dedupExact(
+      stream, Seq("user_id", "event_type"), "ts", "1 hour")
+    val qname = "stream_dd_" + System.nanoTime()
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(qname).count()
+      val batch = Tables(spark, sf).events
+        .dropDuplicates(Seq("user_id", "event_type", "ts")).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamed tumbling-window counts match the batch plan") {
     val t = Tables(spark, sf)
     // FileStreamSource requires a directory; stage the single parquet file
