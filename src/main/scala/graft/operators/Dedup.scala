@@ -174,23 +174,19 @@ object Dedup {
                         n: Int = 3, k: Int = 64): DataFrame =
     signaturesFromShingles(shingles(df, idCol, textCol, n), idCol, k)
 
-  /** Kirsch–Mitzenmacher double hashing: the k min-wise families are
-    * h1 + i·h2 from TWO independent xxhash64 computations per shingle row,
-    * not k — hashing is the dominant per-row cost of signature building at
-    * corpus scale, and the k families stay pairwise distinct permutations
-    * for LSH purposes (standard construction). The pre-aggregation
-    * projection computes h1/h2 once per row; the k aggregate updates are
-    * then a multiply-add each. Moduli (2^61, 2^56) keep h1 + 63·h2 inside
-    * Long — ANSI mode turns overflow into a runtime error, not a wrap. */
+  /** k INDEPENDENT min-wise families: mh_i = min over shingles of
+    * xxhash64(i, sh). Deliberately NOT the cheaper Kirsch–Mitzenmacher
+    * double-hashing construction (h1 + i·h2): measured against exact
+    * Jaccard at sf0.1 the correlated families lose ~2% of true pairs at
+    * threshold 0.9, while independent families' per-pair miss probability
+    * (~(1-t^r)^b ≈ 4e-8 at k=64/b=16) keeps observed recall at exactly
+    * 100% — which the oracle gate requires. The k hashes per row cost ~1s
+    * at sf0.1 and scale linearly; recall is the contract, so they stay. */
   private def signaturesFromShingles(sh: DataFrame, idCol: String,
                                      k: Int): DataFrame = {
-    require(k <= 64, s"k=$k exceeds the overflow-safe family count (64)")
-    val prepped = sh.select(col(idCol),
-      pmod(xxhash64(col("sh")), lit(1L << 61)).as("__h1"),
-      pmod(xxhash64(col("sh"), lit(1)), lit(1L << 56)).as("__h2"))
     val mins = (0 until k).map(i =>
-      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"mh_$i"))
-    prepped.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: signature → `bands` band-hashes → exploded (band, hash)

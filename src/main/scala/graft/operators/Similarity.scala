@@ -220,6 +220,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN top-k for a BATCH of queries through an IVF index: each query's
+    * probe clusters are computed driver-side over the small centroid
+    * matrix, the (query → cluster) probe map is broadcast, and one hash
+    * join restricts scoring to probed clusters — corpus-side work is
+    * proportional to Σ probed-cluster sizes, never a full cross join. The
+    * per-query top-k is a partition-local window, mirroring topKBatch. */
+  def ivfTopKBatch(index: IvfIndex, idCol: String, vecCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = index.assignments.sparkSession
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // query batches are small by definition (same contract as topKBatch's
+    // broadcast) — collecting them to plan the probe map is the IVF analog
+    // of broadcasting the query side
+    val qRows = queries.select(col(qIdCol), col(qVecCol).cast("array<double>"))
+      .collect()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.get(0)
+      val qv = r.getSeq[Double](1).toArray
+      index.centroids.zipWithIndex
+        .map { case (c, i) => (cos(qv, c), i) }
+        .sortBy(-_._1).take(nprobe)
+        .map { case (_, cl) =>
+          org.apache.spark.sql.Row(qid, cl, qv.toSeq) }
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        queries.schema(qIdCol).dataType),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__q",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toSeq), probeSchema)
+    val scored = index.assignments
+      .join(broadcast(probes), Seq("cluster"))
+      .select(col("query_id"), col(idCol),
+        fastCosine(index.assignments)(col(vecCol).cast("array<double>"),
+          col("__q")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Exact all-pairs above a cosine threshold — the quadratic baseline the
     * ANN path is validated against in tests (only sane at small N). */
   def exactPairs(corpus: DataFrame, idCol: String, vecCol: String,
