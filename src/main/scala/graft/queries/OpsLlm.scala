@@ -336,6 +336,28 @@ object OpsLlm extends Suite {
       .orderBy(col("doc_id"))
   }
 
+  // -- multimodal frame sampling: the one-to-many binary expansion IS
+  //    SQL-expressible (deterministic byte slices), so unlike the stubbed
+  //    feature decode it gets a full DuckDB oracle — hex-serialized since
+  //    the compare gate handles strings, not blobs. ------------------------
+  private val multimodalFrames: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val media = Multimodal.syntheticMedia(
+      t.documents.select(col("doc_id"), col("text")), "text")
+    Multimodal.sampleFrames(media, "doc_id", "content", frames = 4)
+      .select(col("doc_id"), col("frame_ix").cast("long").as("frame_ix"),
+        hex(col("frame_bytes")).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_ix"))
+  }
+  // DuckDB 1.0 cannot slice BLOBs, so the byte slice is taken in hex space:
+  // byte [i*8+1, i*8+8] of the blob is hex-char [i*16+1, i*16+16]
+  private val multimodalFramesSql =
+    """SELECT doc_id, i AS frame_ix,
+      |  substring(hex(encode(text)), CAST(i * 16 + 1 AS INT), 16)
+      |    AS frame_hex
+      |FROM documents, unnest(generate_series(0, 3)) AS t(i)
+      |ORDER BY doc_id, frame_ix""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_text_stats" -> textStats,
     "llm_lang_id" -> langId,
@@ -350,7 +372,8 @@ object OpsLlm extends Suite {
     "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_ann_pairs" -> embedAnnPairs,
-    "llm_multimodal_features" -> multimodal)
+    "llm_multimodal_features" -> multimodal,
+    "llm_multimodal_frames" -> multimodalFrames)
 
   def oracle: Map[String, String] = Map(
     "llm_text_stats" -> textStatsSql,
@@ -364,5 +387,6 @@ object OpsLlm extends Suite {
       .replace(">= 0.5", ">= 0.9"),
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
-    "llm_embed_exact_pairs" -> embedExactPairsSql)
+    "llm_embed_exact_pairs" -> embedExactPairsSql,
+    "llm_multimodal_frames" -> multimodalFramesSql)
 }

@@ -43,6 +43,17 @@ class ContextSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("readCsv honors file_extension via pathGlobFilter") {
+    val dir = Files.createTempDirectory("graft-csv-ext")
+    Files.writeString(dir.resolve("a.csv"), "x\n1\n2\n")
+    Files.writeString(dir.resolve("b.tsv"), "x\n3\n4\n5\n")
+    val onlyCsv = ctx.readCsv(dir.toString, hasHeader = true)
+    assert(onlyCsv.count() == 2) // default .csv filter skips the .tsv
+    val onlyTsv = ctx.readCsv(dir.toString, hasHeader = true,
+      fileExtension = ".tsv")
+    assert(onlyTsv.count() == 3)
+  }
+
   test("registerCsv + sql") {
     val p = tmpCsv("a,b\n1,2\n3,4\n", "t4.csv")
     ctx.registerCsv("csv_t4", p)
