@@ -19,7 +19,8 @@ object Bench {
     (1 to 22).map(i => s"tpch_q$i") ++ Seq(
       "llm_text_stats", "llm_fingerprint_groups", "llm_dedup_exact",
       "llm_dedup_ngram", "llm_dedup_minhash", "llm_dedup_simhash",
-      "llm_embed_topk", "llm_embed_ann_pairs")
+      "llm_embed_topk", "llm_embed_ivf_topk", "llm_embed_ann_pairs",
+      "llm_pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,9 +95,11 @@ object StreamOps {
             evs.foreach { e =>
               val t = usOf(e.ts)
               open match {
+                // late-but-within-watermark events can precede the open
+                // session's start — extend both bounds, not just the end
                 case Some(s) if t - s.endUs <= gapUs =>
-                  open = Some(OpenSession(s.startUs, math.max(s.endUs, t),
-                    s.n + 1, s.value + e.value))
+                  open = Some(OpenSession(math.min(s.startUs, t),
+                    math.max(s.endUs, t), s.n + 1, s.value + e.value))
                 case Some(s) =>
                   closed ::= Session(user, tsOf(s.startUs), tsOf(s.endUs),
                     s.n, s.value)
