@@ -42,6 +42,15 @@ object Dedup {
     p
   }
 
+  /** Release every operator-scoped cache — for long-lived sessions moving
+    * between corpora (each operator otherwise keeps its most recent
+    * intermediate cached for reuse). Safe at any time: dropped blocks
+    * recompute, never corrupt. */
+  def releaseCaches(): Unit = {
+    lastPersisted.values.forEach(_.unpersist(false))
+    lastPersisted.clear()
+  }
+
   // --- exact -------------------------------------------------------------
 
   /** One surviving row per distinct key tuple — the canonical survivor is
@@ -222,7 +231,16 @@ object Dedup {
     * self-join then semi-join against candidates) is a scale trap: Catalyst
     * cannot push the candidate semi-join below the self-join because it
     * references both sides, so the full quadratic co-occurrence pass would
-    * run anyway. */
+    * run anyway.
+    *
+    * Cost structure after that fix (stage-profiled at sf0.1): the shingle
+    * scan+distinct and the k-hash signature aggregate dominate, and both
+    * scale LINEARLY in corpus size — the quadratic terms (banding
+    * collisions, candidate verification) are tiny. On a small low-dup
+    * corpus the linear signature work makes minhash run close to (not
+    * below) the exact postings pass, which is expected: exact n-gram
+    * Jaccard's own quadratic term only overtakes minhash's linear overhead
+    * as the corpus — and its co-shingle pair volume — grows. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.8): DataFrame = {
