@@ -11,6 +11,51 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Distributed prefix sum (inclusive running total) over a total order —
+    * WITHOUT the single-partition global window that
+    * `Window.orderBy(...)` with no partition key degenerates to (the
+    * classic scale trap for cumulative aggregates).
+    *
+    * Three bounded steps:
+    *  1. approximate quantiles of the order key define `buckets` ranges —
+    *     any boundary set is CORRECT (buckets only have to respect the
+    *     order); quantile accuracy only balances bucket sizes;
+    *  2. per-bucket totals → bucket offsets via a window over the
+    *     buckets-row aggregate (rows = `buckets`, so the single-partition
+    *     window there is over a fixed-size set at any data scale);
+    *  3. per-bucket local running sum (partitioned window) + offset.
+    *
+    * `orderKey` must be numeric and UNIQUE per row (encode composite
+    * orders into a surrogate, e.g. `rank * 2^40 + id`); uniqueness makes
+    * the running total deterministic and RANGE/ROWS frames equivalent. */
+  def prefixSum(df: DataFrame, orderKey: org.apache.spark.sql.Column,
+                valueCol: org.apache.spark.sql.Column, outCol: String,
+                buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 1, s"buckets=$buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df
+      .agg(percentile_approx(orderKey.cast("double"),
+        typedLit(probs), lit(10000)).as("b"))
+      .head().getSeq[Double](0)
+    // bucket = number of boundaries strictly below the key: equal keys land
+    // in equal buckets, bucket ranges follow the order
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(orderKey.cast("double") > lit(b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__b", bucketCol)
+    val offsets = withB.groupBy(col("__b"))
+      .agg(sum(valueCol).as("__s"))
+      .withColumn("__off",
+        coalesce(sum(col("__s")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .select(col("__b"), col("__off"))
+    val local = Window.partitionBy(col("__b")).orderBy(orderKey)
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn(outCol, sum(valueCol).over(local) + col("__off"))
+      .drop("__b")
+  }
+
   /** Skew-salted equi-join: the big (skewed) side gets a deterministic salt
     * in [0, salts); the small side is replicated once per salt value. The
     * shuffle key becomes (key, salt), splitting each hot key's row group

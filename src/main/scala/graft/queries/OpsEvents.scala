@@ -115,13 +115,42 @@ object OpsEvents extends Suite {
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  // -- cohort retention: users bucketed by first-seen day × activity day.
+  //    The first-seen side scales with |users|, so its join strategy is
+  //    AQE's choice (broadcast at small SF, shuffle at scale); countDistinct
+  //    is partial-aggregated per (cohort, activity) pair. -------------------
+  private val cohort: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val firstSeen = t.events.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    t.events
+      .join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        date_trunc("day", col("ts")).as("activity_day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_day"), col("activity_day"))
+  }
+  private val cohortSql =
+    """WITH fs AS (
+      |  SELECT user_id,
+      |    date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(fs.cohort_day AS TIMESTAMP) AS cohort_day,
+      |  CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP)
+      |    AS activity_day,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+      |FROM events e JOIN fs ON e.user_id = fs.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "events_sessionize" -> sessionize,
     "events_funnel" -> funnel,
-    "events_tumbling" -> tumbling)
+    "events_tumbling" -> tumbling,
+    "events_cohort" -> cohort)
 
   def oracle: Map[String, String] = Map(
     "events_sessionize" -> sessionizeSql,
     "events_funnel" -> funnelSql,
-    "events_tumbling" -> tumblingSql)
+    "events_tumbling" -> tumblingSql,
+    "events_cohort" -> cohortSql)
 }

@@ -336,6 +336,71 @@ object OpsLlm extends Suite {
       .orderBy(col("doc_id"))
   }
 
+  // -- vocabulary top-k: token frequency table, the first step of any
+  //    tokenizer/BPE training prep. Top-k fuses to TakeOrderedAndProject
+  //    (per-partition heaps, no global sort). ------------------------------
+  private val vocabTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+  }
+  private val vocabTopkSql =
+    """SELECT token, count(*) AS freq FROM (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
+
+  // -- token-budget sampling: highest-quality documents first until the
+  //    cumulative token budget is spent — the corpus-sizing step of a
+  //    training run. The running total uses Scale.prefixSum (bucketed
+  //    two-level cumulative sum), NOT a single-partition global window;
+  //    the order surrogate packs (quality desc, doc_id) into one unique
+  //    numeric key. --------------------------------------------------------
+  private val tokenBudget: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val scored = t.documents.select(col("doc_id"),
+      TA.qualityScore(col("text")).as("quality"),
+      TA.tokenCount(col("text")).cast("long").as("n_tok"))
+    val orderKey = (lit(4.0) - col("quality")) * lit(1e12) +
+      col("doc_id").cast("double")
+    graft.operators.Scale.prefixSum(scored, orderKey, col("n_tok"),
+        "cum_tok", buckets = 16)
+      .filter(col("cum_tok") <= 50000L)
+      .select(col("doc_id"), col("quality"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+  private val tokenBudgetSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |      AS quality,
+       |    CAST(n_tok AS BIGINT) AS n_tok
+       |  FROM (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1) AS punct_r,
+       |    CAST(len(regexp_extract_all(lower(text), '$enMarkers')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS stop_r,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS wlen
+       |    FROM documents)
+       |), cum AS (
+       |  SELECT doc_id, quality, n_tok,
+       |    CAST(sum(n_tok) OVER (
+       |      ORDER BY (4.0 - quality) * 1e12 + doc_id) AS BIGINT) AS cum_tok
+       |  FROM scored)
+       |SELECT doc_id, quality, n_tok, cum_tok FROM cum
+       |WHERE cum_tok <= 50000 ORDER BY doc_id""".stripMargin
+
   // -- multimodal frame sampling: the one-to-many binary expansion IS
   //    SQL-expressible (deterministic byte slices), so unlike the stubbed
   //    feature decode it gets a full DuckDB oracle — hex-serialized since
@@ -373,7 +438,9 @@ object OpsLlm extends Suite {
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_multimodal_features" -> multimodal,
-    "llm_multimodal_frames" -> multimodalFrames)
+    "llm_multimodal_frames" -> multimodalFrames,
+    "llm_vocab_topk" -> vocabTopk,
+    "llm_token_budget" -> tokenBudget)
 
   def oracle: Map[String, String] = Map(
     "llm_text_stats" -> textStatsSql,
@@ -388,5 +455,7 @@ object OpsLlm extends Suite {
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
-    "llm_multimodal_frames" -> multimodalFramesSql)
+    "llm_multimodal_frames" -> multimodalFramesSql,
+    "llm_vocab_topk" -> vocabTopkSql,
+    "llm_token_budget" -> tokenBudgetSql)
 }

@@ -57,4 +57,27 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("prefixSum equals the sequential running total, any bucket count") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "v")
+    // reference: sort by id, accumulate
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .drop(1).toMap
+    for (buckets <- Seq(2, 7, 16)) {
+      val got = Scale.prefixSum(df, col("id"), col("v"), "cum", buckets)
+        .select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"buckets=$buckets")
+    }
+    // constant order key degenerates to one bucket but must stay correct
+    // when the key is made unique by construction (documented contract)
+    val gotUnique = Scale.prefixSum(df, col("id") * 0 + col("id"),
+      col("v"), "cum", 4)
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotUnique == want)
+  }
 }
