@@ -99,6 +99,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize extends session START for late in-gap events") {
+    import spark.implicits._
+    // file 1: one event at T+10min; file 2: a LATE event at T (earlier,
+    // within gap + watermark) then a far-future sentinel to flush state.
+    // The closed session must span [T, T+10min] with both events counted.
+    val base = java.sql.Timestamp.valueOf("2024-06-01 12:10:00")
+    val early = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val flush = java.sql.Timestamp.valueOf("2024-09-01 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve(name).toString)
+    write("f1", Seq((1L, base, 1.0)))
+    write("f2", Seq((1L, early, 2.0), (99L, flush, 0.0)))
+    val staged = java.nio.file.Files.createTempDirectory("graft-late-src")
+    Seq("f1", "f2").zipWithIndex.foreach { case (n, i) =>
+      val src = java.nio.file.Files.list(dir.resolve(n)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        staged.resolve(s"0$i-$n.parquet"))
+    }
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val sessions = graft.streaming.StreamOps.sessionize(
+      stream, gapMinutes = 30, watermarkDelay = "1 hour")
+    val qname = "stream_late_" + System.nanoTime()
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(qname).filter(col("user_id") === 1L).collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[java.sql.Timestamp]("session_start") == early)
+      assert(r.getAs[java.sql.Timestamp]("session_end") == base)
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(math.abs(r.getAs[Double]("session_value") - 3.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate events within the watermark") {
     val (stream, _) = stagedEventsStream()
     // the staged file read twice would dup everything; within one file,
