@@ -105,6 +105,23 @@ object Dedup {
   def shingleSizes(sh: DataFrame, idCol: String): DataFrame =
     sh.groupBy(col(idCol)).agg(count(lit(1)).as("sh_n"))
 
+  /** Doc-frequency diagnostics at the same shingle settings: total
+    * distinct shingles, the max doc-frequency, and how many shingles a cap
+    * of `cap` would drop — the explicit tool for choosing/validating
+    * `maxDocFreq` on a corpus. One cheap aggregation pass; run it when
+    * sizing a cap rather than trusting defaults blindly. (The inline
+    * observe() metrics on the capped path surface only with AQE disabled:
+    * AQE's stage cloning detaches CollectMetrics accumulators in this
+    * Spark version, so this method is the reliable visibility path.) */
+  def shingleCapStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, cap: Int = 500): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("distinct_shingles"),
+        max(col("df")).as("max_doc_freq"),
+        sum(when(col("df") > cap, 1L).otherwise(0L))
+          .as("shingles_over_cap"))
+
   // --- n-gram Jaccard ----------------------------------------------------
 
   /** All id pairs (a < b) with word-n-gram Jaccard similarity ≥ threshold.
@@ -119,7 +136,8 @@ object Dedup {
     * shingles, so a generous cap leaves results unchanged on natural text
     * (verified against the exact oracle in the gated query); pass `None` to
     * opt into the exact-but-unbounded computation. Dropped-shingle counts
-    * are published as observed metrics (`graft_shingle_cap`). */
+    * are published as observed metrics (`graft_shingle_cap`; AQE-off runs —
+    * see shingleCapStats for the always-available diagnostic). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Int] = Some(500)): DataFrame = {
