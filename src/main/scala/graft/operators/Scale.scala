@@ -34,10 +34,14 @@ object Scale {
     import org.apache.spark.sql.expressions.Window
     require(buckets > 1, s"buckets=$buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = df
+    val boundsRow = df
       .agg(percentile_approx(orderKey.cast("double"),
         typedLit(probs), lit(10000)).as("b"))
-      .head().getSeq[Double](0)
+      .head()
+    // empty input → null percentiles → single empty bucket (still correct)
+    val bounds =
+      if (boundsRow.isNullAt(0)) Seq.empty[Double]
+      else boundsRow.getSeq[Double](0)
     // bucket = number of boundaries strictly below the key: equal keys land
     // in equal buckets, bucket ranges follow the order
     val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>

@@ -165,6 +165,8 @@ object Similarity {
       .select(v)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty,
+      "ivfIndex: corpus is empty — no centroids can be seeded")
     def assigned: DataFrame = {
       // argmax over (cosine, index) structs: one array construction per row,
       // struct ordering picks the max cosine (ties break to the higher index
@@ -199,8 +201,9 @@ object Similarity {
   def ivfTopKForQuery(index: IvfIndex, idCol: String, vecCol: String,
                       query: DataFrame, qCol: String, k: Int,
                       nprobe: Int = 4): DataFrame = {
-    val q = query.select(col(qCol).cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+    val qRows = query.select(col(qCol).cast("array<double>")).head(1)
+    require(qRows.nonEmpty, "ivfTopKForQuery: query DataFrame is empty")
+    val q = qRows.head.getSeq[Double](0).toArray
     def cosine(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
