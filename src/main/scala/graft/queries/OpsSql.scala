@@ -44,6 +44,38 @@ object OpsSql extends Suite {
       |  AND o_totalprice > 450000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  // Recursive CTE: supported by BOTH engines (Spark 4 added WITH
+  // RECURSIVE), run as the same text — a generated month series LEFT
+  // JOINed to real orders, exercising recursion + outer join + agg.
+  private val sqlRecursiveCte =
+    """WITH RECURSIVE series(n) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT n + 1 FROM series WHERE n < 11
+      |)
+      |SELECT n AS month_ix, CAST(count(o_orderkey) AS BIGINT) AS orders
+      |FROM series LEFT JOIN orders
+      |  ON date_part('month', o_orderdate) = n + 1
+      | AND date_part('year', o_orderdate) = 1997
+      |GROUP BY n ORDER BY n""".stripMargin
+
+  // LATERAL correlated derived table — per-region top-balance supplier.
+  private val sqlLateral =
+    """SELECT r_name, t.s_name, t.s_acctbal
+      |FROM region, LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_regionkey = r_regionkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      |ORDER BY r_name, t.s_acctbal DESC, t.s_name""".stripMargin
+
+  // Multiset set-ops: ALL variants keep duplicate counts.
+  private val sqlSetAll =
+    """SELECT l_partkey FROM lineitem WHERE l_quantity < 3.0
+      |INTERSECT ALL
+      |SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+      |ORDER BY l_partkey""".stripMargin
+
   private def q(sql: String): Q = (s, dir) => {
     Tables(s, dir).registerAll()
     s.sql(sql)
@@ -54,7 +86,10 @@ object OpsSql extends Suite {
     "sql_not_in_subquery" -> sqlNotInSubquery,
     "sql_scalar_correlated" -> sqlScalarCorrelated,
     "sql_theta_join" -> sqlThetaJoin,
-    "sql_in_subquery" -> sqlInCorrelatedAgg)
+    "sql_in_subquery" -> sqlInCorrelatedAgg,
+    "sql_recursive_cte" -> sqlRecursiveCte,
+    "sql_lateral" -> sqlLateral,
+    "sql_set_all" -> sqlSetAll)
 
   def defs: Map[String, Q] = all.map { case (k, sql) => k -> q(sql) }
   def oracle: Map[String, String] = all
