@@ -55,8 +55,11 @@ object Similarity {
   }
 
   /** Exact top-k per query for a batch of queries: broadcast the batch,
-    * score all pairs map-side, keep k per query with a partition-local
-    * top-k window. */
+    * score all pairs map-side, keep k per query with the custom
+    * GroupedTopK operator — bounded per-key heaps instead of the window
+    * formulation's full per-partition sort (row_number().over(...) sorts
+    * every (query × corpus) scored row; the heap pass holds k rows per
+    * query and streams the rest through). */
   def topKBatch(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
                 k: Int): DataFrame = {
@@ -65,11 +68,8 @@ object Similarity {
         col(qVecCol).cast("array<double>").as("__q"))))
       .select(col("query_id"), col(idCol),
         fastCosine(corpus)(col(vecCol), col("__q")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    graft.plans.GroupedTopK(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
   /** Hyperplane normals are generated driver-side from a fixed seed and

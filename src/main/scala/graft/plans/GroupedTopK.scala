@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Whole-operator extension demo (SURVEY §7 preference (c)): per-key top-k
+  * as a first-class plan node — logical node, planner strategy, and a
+  * physical operator with bounded per-key heaps.
+  *
+  * Why not compose it: the DataFrame formulation
+  * (`row_number().over(Window.partitionBy(keys).orderBy(...)) <= k`) plans
+  * as exchange + FULL SORT of every partition + window walk. The dedicated
+  * operator replaces the sort with an O(n log k) heap per key and drops
+  * all-but-k rows before they ever materialize — at 100 TB the difference
+  * is sorting every shuffle partition versus streaming it once. The same
+  * requiredChildDistribution (cluster by keys) means the shuffle itself is
+  * identical; only the post-shuffle work changes.
+  *
+  * Registration: strategies injectable at session-build time via
+  * [[GraftExtensions]] (`spark.sql.extensions`) or at runtime through
+  * `spark.experimental.extraStrategies` (what [[GroupedTopK.apply]] does),
+  * both public Spark extension points.
+  */
+case class GroupedTopKPlan(keys: Seq[Expression], order: Seq[SortOrder],
+                           k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k=$k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GroupedTopKPlan = copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKPlan(keys, order, k, child) =>
+      GroupedTopKExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical per-key top-k: requires clustering on the keys (the planner
+  * inserts the hash exchange), then a single streaming pass per partition
+  * holding at most k rows per key in a bounded heap. Output within each key
+  * follows the requested sort order. */
+case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
+                           k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val so = order
+    val out = child.output
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, out)
+      // total ordering from the SortOrder spec (codegen'd when possible);
+      // smaller = better ranked
+      val ordering = RowOrdering.create(so, out)
+      // max-heap on the ordering: head is the WORST kept row → O(log k)
+      // replace when a better row arrives
+      val groups =
+        new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = groups.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue
+            .empty[InternalRow](ordering)
+          groups.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      groups.values.asScala.iterator.flatMap { h =>
+        // dequeueAll drains worst-first; reverse restores the sort order
+        h.dequeueAll.reverse.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): GroupedTopKExec = copy(child = newChild)
+}
+
+/** Session-extensions installer for config-time registration:
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+}
+
+object GroupedTopK {
+
+  /** Ensure the strategy is active on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(GroupedTopKStrategy))
+      spark.experimental.extraStrategies = cur :+ GroupedTopKStrategy
+  }
+
+  /** Top `k` rows per distinct value of `keyCols`, ranked by `orderBy`
+    * (pass `.desc`/`.asc` columns; bare columns default ascending). */
+  def apply(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
+            k: Int): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val keyExprs =
+      keyCols.map(c => ColumnBridge.eagerExpression(spark, df.col(c)))
+    val sortOrder = orderBy.map(c =>
+      ColumnBridge.eagerExpression(spark, c) match {
+        case so: SortOrder => so
+        case e             => SortOrder(e, Ascending)
+      })
+    // build over the ANALYZED child: df.col() resolves against df's own
+    // analysis, so the raw logical plan would re-analyze to fresh exprIds
+    // that no longer match the captured attributes
+    ColumnBridge.ofRows(spark,
+      GroupedTopKPlan(keyExprs, sortOrder, k, df.queryExecution.analyzed))
+  }
+}

@@ -371,6 +371,24 @@ object OpsRelational extends Suite {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
 
+  /** GROUPED top-k through the custom whole-operator path (logical node +
+    * strategy + bounded-heap exec, plans/GroupedTopK.scala): top-2 orders
+    * per customer without sorting any partition. */
+  private val groupedTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.plans.GroupedTopK(t.orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+  private val groupedTopkSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // -- §2.7 set operations --------------------------------------------------
   private val unionAll: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -453,6 +471,7 @@ object OpsRelational extends Suite {
     "op_sort_nulls" -> sortNulls,
     "op_sort_nulls2" -> sortNulls2,
     "op_topk" -> topk,
+    "op_grouped_topk" -> groupedTopk,
     "op_union_all" -> unionAll,
     "op_union_distinct" -> unionDistinct,
     "op_intersect" -> intersectQ,
@@ -481,6 +500,7 @@ object OpsRelational extends Suite {
     "op_sort_nulls" -> sortNullsSql,
     "op_sort_nulls2" -> sortNulls2Sql,
     "op_topk" -> topkSql,
+    "op_grouped_topk" -> groupedTopkSql,
     "op_union_all" -> unionAllSql,
     "op_union_distinct" -> unionDistinctSql,
     "op_intersect" -> intersectSql,

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge to Spark's private[sql] Column↔Expression converters — Spark 4
@@ -14,6 +15,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** EAGER Column→catalyst conversion through the session's converter.
+    * `expression(c)` above wraps the ColumnNode lazily (resolution happens
+    * during analysis), which is fine inside a Dataset plan but NOT for
+    * expressions embedded in custom plan nodes that ship to executors —
+    * the lazy wrapper holds non-serializable internal nodes. */
+  def eagerExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
+
+  /** DataFrame over a custom LogicalPlan (Dataset.ofRows is private[sql] in
+    * Spark 4) — the entry point for library-defined logical operators. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   /** String value of a literal Column (`lit("…")`), if it is one. Reads the
     * ColumnNode directly — the catalyst conversion wraps literals in a lazy

@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.GroupedTopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Custom whole-operator path (logical node → strategy → physical exec):
+  * per-key top-k must equal the window row_number formulation on any data,
+  * plan with the custom exec node (no sort), and survive multi-partition
+  * inputs and ties. */
+class GroupedTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame,
+                         k: Int): Set[(String, Long, Double)] = {
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    df.withColumn("rn", row_number().over(w)).filter($"rn" <= k).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+  }
+
+  private val rnd = new scala.util.Random(17)
+  private lazy val data = (1 to 2000).map { i =>
+    (s"g${i % 23}", i.toLong, rnd.nextDouble() * 100)
+  }
+
+  test("equals window row_number top-k on random data") {
+    val df = data.toDF("g", "id", "v").repartition(8)
+    val custom = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(custom == windowTopK(df, 5))
+  }
+
+  test("plans through GroupedTopKExec with no sort below it") {
+    val df = data.toDF("g", "id", "v")
+    val out = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 3)
+    out.collect()
+    // string match: plan.exists doesn't descend into AQE's final plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), s"no GroupedTopKExec in:\n$plan")
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+  }
+
+  test("ties break on the secondary key; k larger than group passes all") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0),
+      ("b", 9L, 1.0)).toDF("g", "id", "v").repartition(4)
+    val top2 = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top2 == Set(("a", 1L), ("a", 2L), ("b", 9L)))
+    val top10 = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 10)
+    assert(top10.count() == 4)
+  }
+
+  test("per-key output order follows the sort spec") {
+    val df = data.toDF("g", "id", "v")
+    val rows = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 4)
+      .filter($"g" === "g7").collect()
+      .map(r => (r.getDouble(2), r.getLong(1)))
+    assert(rows.sortBy(t => (-t._1, t._2)).toSeq == rows.toSeq)
+  }
+}
