@@ -41,22 +41,34 @@ case class GroupedTopKPlan(keys: Seq[Expression], order: Seq[SortOrder],
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopKPlan(keys, order, k, child) =>
-      GroupedTopKExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase, mirroring partial aggregation: a map-side heap pass
+      // bounds shuffle volume to ≤ k rows per (mapper, key) — without the
+      // sort Spark's own WindowGroupLimit partial mode pays — then the
+      // clustered final pass merges
+      GroupedTopKExec(keys, order, k, partial = false,
+        GroupedTopKExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical per-key top-k: requires clustering on the keys (the planner
-  * inserts the hash exchange), then a single streaming pass per partition
-  * holding at most k rows per key in a bounded heap. Output within each key
-  * follows the requested sort order. */
+/** Physical per-key top-k: a single streaming pass per partition holding at
+  * most k rows per key in a bounded heap. `partial = true` runs map-side on
+  * whatever partitioning exists (shrinking the shuffle input); the final
+  * phase requires clustering on the keys (the planner inserts the hash
+  * exchange) and yields each key's rows in the requested sort order. */
 case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
-                           k: Int, child: SparkPlan) extends UnaryExecNode {
+                           k: Int, partial: Boolean,
+                           child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "GroupedTopKPartial" else "GroupedTopK"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -103,8 +115,10 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
 /** Session-extensions installer for config-time registration:
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
+  }
 }
 
 object GroupedTopK {

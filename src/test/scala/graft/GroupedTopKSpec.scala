@@ -52,6 +52,32 @@ class GroupedTopKSpec extends SparkSpec {
     assert(top10.count() == 4)
   }
 
+  test("optimizer rule rewrites the window top-k idiom into the operator") {
+    graft.plans.RewriteWindowTopK.register(spark)
+    val df = data.toDF("g", "id", "v").repartition(6)
+    // the idiomatic window formulation, untouched user code
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val idiom = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4).drop("rn")
+    val rows = idiom.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+    // semantics unchanged vs a driver-side reference (windowTopK itself
+    // would be rewritten by the now-registered rule)
+    val expected = data.groupBy(_._1).values.flatMap { rs =>
+      rs.sortBy(r => (-r._3, r._2)).take(4)
+    }.toSet
+    assert(rows == expected)
+    // guard: rank column still referenced above -> rule must NOT fire
+    val keepRn = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4)
+    keepRn.collect()
+    assert(!keepRn.queryExecution.executedPlan.toString
+      .contains("GroupedTopK"))
+  }
+
   test("per-key output order follows the sort spec") {
     val df = data.toDF("g", "id", "v")
     val rows = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 4)
