@@ -119,12 +119,18 @@ object Context {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // library extensions: GroupedTopK strategy + the window-top-k
+      // rewrite rule (plans/GraftExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate may return a pre-existing session whose extensions were
+    // fixed at first build — the runtime registration path covers that
+    graft.plans.RewriteWindowTopK.register(spark)
     new Context(spark, shufflePartitions)
   }
 }

@@ -283,6 +283,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // --- near-dup clusters → kept set ---------------------------------------
+
+  /** Connected components over near-dup pairs by smallest-label
+    * propagation: every doc's label converges to the minimum id reachable
+    * through the pair graph. Each iteration is one join + min-aggregate —
+    * the standard distributed CC loop (GraphX/Pregel shape without the
+    * framework); near-dup graphs are unions of small dense clusters, so
+    * the label frontier collapses in O(log(cluster diameter)) iterations
+    * (near-dup clusters are mostly cliques → 2-3 rounds). `maxIter` bounds
+    * pathological chains; convergence is checked with a cheap count. */
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+        .join(labels, Seq("id"))
+        .select(col("id"),
+          least(col("label"), col("nbr_label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+          Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** The kept set after near-dup clustering: from `df`, drop every doc
+    * that is in a near-dup cluster but is not its minimum-id member.
+    * Composes any pair generator (`ngramJaccardPairs`, `minhashDedupPairs`,
+    * `simhashPairs`, `Similarity.annPairs`) into the operation a corpus
+    * build actually needs — the surviving corpus. */
+  def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val drop = clusterLabels(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -103,6 +103,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(mh == exact) // verified candidates: no false positives, full recall
   }
 
+  test("survivors: connected components keep exactly one doc per cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    // driver-side union-find reference over the same (small) pair set
+    val edges = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = allIds -- edges.flatMap(e => Seq(e._1, e._2))
+      .filter(id => find(id) != id).toSet
+    val kept = Dedup.survivors(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected)
+    // sanity: clusters are non-trivial (0/1/2 collapse to 0)
+    assert(!kept.contains(1L) && !kept.contains(2L) && kept.contains(0L))
+  }
+
   test("simhash: identical texts collide, near dups within hamming 3") {
     val sim = Dedup.simhash(docs, "doc_id", "text")
     val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
