@@ -323,6 +323,16 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // the final labels cache outlives the loop (the caller's consuming
+    // action needs it); scope it so a later call releases this one
+    lastPersisted.put(s"${pairs.sparkSession.hashCode}:clusterLabels",
+      labels) match {
+      case prev: DataFrame if (prev ne labels) &&
+          !prev.queryExecution.analyzed.sameResult(
+            labels.queryExecution.analyzed) =>
+        prev.unpersist(blocking = false)
+      case _ => ()
+    }
     labels
   }
 
