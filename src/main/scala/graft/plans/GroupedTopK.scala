@@ -56,7 +56,14 @@ object GroupedTopKStrategy extends SparkStrategy {
   * most k rows per key in a bounded heap. `partial = true` runs map-side on
   * whatever partitioning exists (shrinking the shuffle input); the final
   * phase requires clustering on the keys (the planner inserts the hash
-  * exchange) and yields each key's rows in the requested sort order. */
+  * exchange) and yields each key's rows in the requested sort order.
+  *
+  * Memory contract: the working set is k rows × distinct keys per
+  * partition and does NOT spill (unlike the window formulation's
+  * sort, or Spark's hash aggregate fallback). That is the right trade for
+  * top-k workloads — k is small by definition and keys hash-spread across
+  * partitions — but for extreme per-partition key cardinality × large k,
+  * prefer the window form or raise shuffle partitions. */
 case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
                            k: Int, partial: Boolean,
                            child: SparkPlan) extends UnaryExecNode {
