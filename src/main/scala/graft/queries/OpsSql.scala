@@ -76,6 +76,19 @@ object OpsSql extends Suite {
       |SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
       |ORDER BY l_partkey""".stripMargin
 
+  // Aggregate FILTER clause + an explicit RANGE window frame.
+  private val sqlFilterFrame =
+    """SELECT n_nationkey,
+      |  CAST(count(*) FILTER (WHERE s_acctbal > 0) AS BIGINT) AS pos_cnt,
+      |  CAST(count(*) FILTER (WHERE s_acctbal <= 0) AS BIGINT) AS neg_cnt,
+      |  round(sum(sum(s_acctbal)) OVER (
+      |    ORDER BY n_nationkey
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS running_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
   private def q(sql: String): Q = (s, dir) => {
     Tables(s, dir).registerAll()
     s.sql(sql)
@@ -89,7 +102,8 @@ object OpsSql extends Suite {
     "sql_in_subquery" -> sqlInCorrelatedAgg,
     "sql_recursive_cte" -> sqlRecursiveCte,
     "sql_lateral" -> sqlLateral,
-    "sql_set_all" -> sqlSetAll)
+    "sql_set_all" -> sqlSetAll,
+    "sql_filter_frame" -> sqlFilterFrame)
 
   def defs: Map[String, Q] = all.map { case (k, sql) => k -> q(sql) }
   def oracle: Map[String, String] = all
