@@ -286,27 +286,34 @@ object Dedup {
   // --- near-dup clusters → kept set ---------------------------------------
 
   /** Connected components over near-dup pairs by smallest-label
-    * propagation: every doc's label converges to the minimum id reachable
-    * through the pair graph. Each iteration is one join + min-aggregate —
-    * the standard distributed CC loop (GraphX/Pregel shape without the
-    * framework); near-dup graphs are unions of small dense clusters, so
-    * the label frontier collapses in O(log(cluster diameter)) iterations
-    * (near-dup clusters are mostly cliques → 2-3 rounds). `maxIter` bounds
-    * pathological chains; convergence is checked with a cheap count. */
-  def clusterLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * propagation WITH pointer jumping: each iteration every node adopts
+    * min(own, neighbors', label-of-label) — the neighbor step spreads the
+    * min one hop, the label-of-label step halves remaining path lengths,
+    * so convergence is O(log diameter) even for chain-shaped clusters
+    * (plain neighbor-min alone needs diameter iterations — a silent
+    * wrong-answer trap on long chains under any iteration cap). Each
+    * iteration is two joins + a min-aggregate; convergence is verified
+    * with a cheap count and failure to converge within `maxIter` raises
+    * rather than returning wrong labels. */
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // localCheckpoint (eager) per iteration: an iterative dataflow that
+    // feeds each result back into the next plan grows its LOGICAL plan
+    // exponentially (labels appears ~4× per step here) — analysis itself
+    // OOMs long before data size matters. Checkpointing truncates the
+    // plan and lineage each round, the same discipline Spark ML's
+    // iterative algorithms use; blocks are (id, label) pairs only.
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels)
-      val next = edges
+      // neighbor-min: each node adopts min(own label, neighbors' labels)
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -314,25 +321,24 @@ object Dedup {
         .join(labels, Seq("id"))
         .select(col("id"),
           least(col("label"), col("nbr_label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: label := label's label (path halving)
+      val next = nbrMin.as("a")
+        .join(nbrMin.select(col("id").as("label"),
+          col("label").as("jump")).as("b"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jump"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"),
           Seq("id"))
         .filter(col("label") < col("old")).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    // the final labels cache outlives the loop (the caller's consuming
-    // action needs it); scope it so a later call releases this one
-    lastPersisted.put(s"${pairs.sparkSession.hashCode}:clusterLabels",
-      labels) match {
-      case prev: DataFrame if (prev ne labels) &&
-          !prev.queryExecution.analyzed.sameResult(
-            labels.queryExecution.analyzed) =>
-        prev.unpersist(blocking = false)
-      case _ => ()
-    }
+    require(converged,
+      s"clusterLabels did not converge within $maxIter iterations — " +
+        "raise maxIter (diameter of the pair graph exceeds 2^maxIter)")
     labels
   }
 

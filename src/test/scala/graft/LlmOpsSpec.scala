@@ -128,6 +128,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(!kept.contains(1L) && !kept.contains(2L) && kept.contains(0L))
   }
 
+  test("clusterLabels converges on a long chain (pointer jumping)") {
+    // a 40-node path graph: plain one-hop min propagation would need 39
+    // iterations; pointer jumping must collapse it within the default cap
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40)
+    assert(labels.values.forall(_ == 0L)) // one component, min id 0
+    // two disjoint chains stay separate
+    val two = chain.unionAll(
+      (100L until 110L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    val l2 = Dedup.clusterLabels(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 39L).forall(l2(_) == 0L))
+    assert((100L to 110L).forall(l2(_) == 100L))
+  }
+
   test("simhash: identical texts collide, near dups within hamming 3") {
     val sim = Dedup.simhash(docs, "doc_id", "text")
     val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
