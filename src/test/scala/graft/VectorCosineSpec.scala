@@ -56,6 +56,25 @@ class VectorCosineSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("length mismatch and null elements yield NULL (zip_with parity)") {
+    // mismatched lengths: zip_with null-pads, nulling the aggregate — the
+    // kernel must agree (NULL), not silently truncate to min(n)
+    val mism = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+    assert(mism.select(VectorCosine.vecCosine(spark, $"a", $"b")).collect()
+      .head.isNullAt(0))
+    // a null element propagates through the sum → NULL
+    val withNull = Seq((Seq[java.lang.Float](1.0f, null, 3.0f),
+        Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    assert(withNull.select(VectorCosine.vecCosine(spark, $"a", $"b"))
+      .collect().head.isNullAt(0))
+    // and the composed form agrees on both cases
+    val composed = mism.select(Similarity.cosine(
+      $"a".cast("array<double>"), $"b".cast("array<double>"))).collect()
+    assert(composed.head.isNullAt(0))
+  }
+
   test("rejects non-array inputs at analysis time") {
     val d = Seq((1, 2)).toDF("a", "b")
     val e = intercept[Exception] {
