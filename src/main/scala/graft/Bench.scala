@@ -29,6 +29,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the graft optimizer rules (RewriteWindowTopK) must govern the
+      // measured plans, same as any production session built via
+      // Context.local
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local-bench split sizing: the sf tables are single ~50 MB parquet

@@ -122,15 +122,21 @@ object VectorCosine {
 
   /** Register in the session function registry (idempotent), the same
     * registration path the reference uses for its function registry
-    * (reference functions.rs:304-397). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      { exprs =>
-        require(exprs.length == 2, s"$name takes 2 arguments")
-        VectorCosine(exprs.head, exprs(1))
-      },
-      "built-in")
+    * (reference functions.rs:304-397). Registration is guarded by an
+    * existence check so repeated column builds don't spam the log with
+    * `replaced a previously registered function` warnings. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(
+        name,
+        { exprs =>
+          require(exprs.length == 2, s"$name takes 2 arguments")
+          VectorCosine(exprs.head, exprs(1))
+        },
+        "built-in")
+  }
 
   /** Column builder: registers on the session and resolves by name. */
   def vecCosine(spark: SparkSession, a: Column, b: Column): Column = {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -228,7 +227,9 @@ object Similarity {
     * matrix, the (query → cluster) probe map is broadcast, and one hash
     * join restricts scoring to probed clusters — corpus-side work is
     * proportional to Σ probed-cluster sizes, never a full cross join. The
-    * per-query top-k is a partition-local window, mirroring topKBatch. */
+    * per-query top-k is the same bounded-heap GroupedTopK operator as
+    * topKBatch — k rows per query survive the shuffle, never a full sort of
+    * the probed-cluster scores. */
   def ivfTopKBatch(index: IvfIndex, idCol: String, vecCol: String,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int = 4): DataFrame = {
@@ -269,11 +270,8 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         fastCosine(index.assignments)(col(vecCol).cast("array<double>"),
           col("__q")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    graft.plans.GroupedTopK(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
   /** Exact all-pairs above a cosine threshold — the quadratic baseline the

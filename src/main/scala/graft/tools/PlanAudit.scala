@@ -20,6 +20,8 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // audit the plans users get: graft optimizer rules active
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,11 +35,16 @@ object PlanAudit {
       def count(marker: String): Int =
         marker.r.findAllIn(plan).length
       println(s"== $name")
+      // codegen spans show as `*(n)` operator prefixes in executedPlan's
+      // string form (the word WholeStageCodegen never appears there)
       println(s"   BroadcastHashJoin=${count("BroadcastHashJoin")} " +
         s"SortMergeJoin=${count("SortMergeJoin")} " +
         s"ShuffledHashJoin=${count("ShuffledHashJoin")} " +
         s"Exchange=${count("Exchange (?!hashpartitioning#)")} " +
-        s"WholeStageCodegen=${count("WholeStageCodegen")}")
+        s"CodegenSpans=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size} " +
+        s"Sort=${count("\\bSort\\b")} " +
+        s"GroupedTopK=${count("GroupedTopK")} " +
+        s"WindowGroupLimit=${count("WindowGroupLimit")}")
       plan.linesIterator
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .take(8)
