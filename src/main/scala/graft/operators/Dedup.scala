@@ -42,6 +42,14 @@ object Dedup {
     p
   }
 
+  /** Persist an expensive upstream DataFrame under an operator-scoped key,
+    * for pipelines whose input feeds a self-join ([[exact]]'s keep/probe
+    * sides would otherwise each re-evaluate the upstream from the scan —
+    * e.g. a regex-heavy scoring battery computed twice). Same lifecycle as
+    * the internal caches: one live entry per key, released on the next call
+    * with a different plan or by [[releaseCaches]]. */
+  def reuse(key: String, df: DataFrame): DataFrame = persistScoped(key, df)
+
   /** Release every operator-scoped cache — for long-lived sessions moving
     * between corpora (each operator otherwise keeps its most recent
     * intermediate cached for reuse). Safe at any time: dropped blocks
@@ -207,13 +215,19 @@ object Dedup {
     * Jaccard at sf0.1 the correlated families lose ~2% of true pairs at
     * threshold 0.9, while independent families' per-pair miss probability
     * (~(1-t^r)^b ≈ 4e-8 at k=64/b=16) keeps observed recall at exactly
-    * 100% — which the oracle gate requires. The k hashes per row cost ~1s
-    * at sf0.1 and scale linearly; recall is the contract, so they stay. */
+    * 100% — which the oracle gate requires. Recall is the contract, so the
+    * independent families stay; what changed is their evaluation — all k
+    * minima are computed in ONE pass per row by the fused
+    * [[graft.expressions.MinHashSig]] aggregate (bit-identical to the k
+    * separate `min(xxhash64(lit(i), sh))` columns, see its scaladoc), then
+    * unpacked to the mh_i schema downstream banding expects. */
   private def signaturesFromShingles(sh: DataFrame, idCol: String,
                                      k: Int): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = graft.expressions.MinHashSig
+      .minhashSig(sh.sparkSession, col("sh"), k).as("mh")
+    sh.groupBy(col(idCol)).agg(sig)
+      .select(col(idCol) +:
+        (0 until k).map(i => col("mh").getItem(i).as(s"mh_$i")): _*)
   }
 
   /** LSH banding: signature → `bands` band-hashes → exploded (band, hash)

@@ -123,9 +123,13 @@ object OpsLlm extends Suite {
       TA.langId(c).as("lang_pred"),
       TA.qualityScore(c).as("quality"),
       TA.tokenCount(c).as("n_tok"))
-    val kept = scored
+    // the scoring battery above is the costliest per-row work in the whole
+    // pipeline, and Dedup.exact's keep/probe sides would each re-evaluate it
+    // from the parquet scan — materialize the kept set once (post-filter, so
+    // the cache holds only the surviving fraction of the corpus)
+    val kept = Dedup.reuse("pipeline:curate:kept", scored
       .filter(col("lang_pred") === "en" && col("quality") >= 3.0)
-      .withColumn("fp", TA.fingerprint(c))
+      .withColumn("fp", TA.fingerprint(c)))
     val deduped = Dedup.exact(kept, Seq("fp"), "doc_id")
     deduped.groupBy(col("quality"))
       .agg(count(lit(1)).as("docs"),
