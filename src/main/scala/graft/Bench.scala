@@ -58,28 +58,36 @@ object Bench {
       }
     }
 
-    // Two measured passes per query, report the min: the first target-SF run
+    // Measured passes per query, report the min: the first target-SF run
     // still pays residual JIT (C2 compilation of the big whole-stage-codegen
     // functions) and page-cache warming, which otherwise drowns the
-    // round-over-round perf signal in noise.
-    val passes = 2
+    // round-over-round perf signal in noise. Queries whose first measurement
+    // lands under 2s get a third pass — this box's run-to-run wobble
+    // (~±0.4s) is a large fraction of such readings, and one extra cheap
+    // pass makes sub-0.5s round-over-round deltas interpretable.
+    val basePasses = 2
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to passes).map { _ =>
+        def onePass(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
                 (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
         }
-        name -> (if (times.forall(_ >= 0)) times.min else -1.0)
+        val first = onePass()
+        val passes = if (first >= 0 && first < 2.0) basePasses + 1 else basePasses
+        val times = first +: (2 to passes).map(_ => onePass())
+        name -> (if (times.forall(_ >= 0)) (times.min, passes) else (-1.0, passes))
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val ps = results.map { case (k, (_, p)) => "\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,12 +132,12 @@ object Functions {
   def sha384(c: Column): Column = F.sha2(c, 384)
   def sha512(c: Column): Column = F.sha2(c, 512)
 
-  /** `digest(value, method)` (reference functions.rs:62-70). blake2b/blake2s
-    * are native Catalyst expressions implemented from RFC 7693 (the JVM has
-    * no provider and no library may be added — see
-    * graft.expressions.Blake2). blake3 is a different, non-RFC algorithm
-    * and remains documented-unsupported (the same class of gap as the
-    * reference's own JSON support, reference OLDREADME.md:36). */
+  /** `digest(value, method)` (reference functions.rs:62-70) — the full
+    * method enum. blake2b/blake2s are native Catalyst expressions
+    * implemented from RFC 7693 and blake3 from its public specification
+    * (the JVM has no provider and no library may be added — see
+    * graft.expressions.{Blake2, Blake3}; spec/RFC vectors asserted in
+    * Blake2Spec/Blake3Spec). */
   def digest(c: Column, method: String): Column = method.toLowerCase match {
     case "md5"     => F.md5(c)
     case "sha224"  => F.sha2(c, 224)
@@ -146,9 +146,7 @@ object Functions {
     case "sha512"  => F.sha2(c, 512)
     case "blake2b" => graft.expressions.Blake2.blake2b(c.cast("binary"))
     case "blake2s" => graft.expressions.Blake2.blake2s(c.cast("binary"))
-    case "blake3"  =>
-      throw new UnsupportedOperationException(
-        "digest method blake3 is not available (documented gap)")
+    case "blake3"  => graft.expressions.Blake3.blake3(c.cast("binary"))
     case m => throw new IllegalArgumentException(s"unknown digest method $m")
   }
 

@@ -181,14 +181,25 @@ object OpsRelational extends Suite {
   private val countStarSql = "SELECT count(*) AS n FROM orders"
 
   /** HLL++ estimate — contract-level twin of the reference's HLL
-    * `approx_distinct` (reference functions.rs:302); estimates differ across
-    * engines so this is a rows-only check (documented in SURVEY §7). */
+    * `approx_distinct` (reference functions.rs:302). Raw estimates differ
+    * across engines, so the gated output carries the accuracy CONTRACT
+    * instead: the exact cardinality plus a boolean asserting the HLL
+    * estimate landed within 5% of it (HLL++ at default rsd=5% — a miss is
+    * a real implementation fault, not noise). The oracle emits the same
+    * exact count and a literal true, so the driver's hash compare verifies
+    * the estimate's tolerance, not just row shape. */
   private val aggApprox: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.lineitem.agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_partkey")).as("approx"),
       countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("within_5pct"))
   }
+  private val aggApproxSql =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |       true AS within_5pct FROM lineitem""".stripMargin
 
   private val aggRollup: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -490,7 +501,7 @@ object OpsRelational extends Suite {
     "op_agg_basic" -> aggBasicSql,
     "op_agg_distinct" -> aggDistinctSql,
     "op_count_star" -> countStarSql,
-    // op_agg_approx_distinct: rows-only (HLL++ vs HLL estimates differ)
+    "op_agg_approx_distinct" -> aggApproxSql,
     "op_agg_rollup" -> aggRollupSql,
     "op_agg_cube" -> aggCubeSql,
     "op_agg_grouping_sets" -> aggGroupingSetsSql,

@@ -214,9 +214,11 @@ object OpsScalar extends Suite {
         Fx.sha384(col("c_name")).as("sha384_v"),
         Fx.sha512(col("c_name")).as("sha512_v"),
         Fx.digest(col("c_name"), "sha512").as("digest_v"),
-        // RFC 7693 kernels (no DuckDB twin; RFC vectors in Blake2Spec)
+        // spec-native kernels (no DuckDB twin; RFC 7693 vectors in
+        // Blake2Spec, official BLAKE3 vectors in Blake3Spec)
         Fx.digest(col("c_name"), "blake2b").as("blake2b_v"),
-        Fx.digest(col("c_name"), "blake2s").as("blake2s_v"))
+        Fx.digest(col("c_name"), "blake2s").as("blake2s_v"),
+        Fx.digest(col("c_name"), "blake3").as("blake3_v"))
       .orderBy(col("c_custkey"))
   }
 

@@ -63,10 +63,7 @@ class Blake2Spec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
-  test("blake3 stays documented-unsupported; unknown methods error") {
-    intercept[UnsupportedOperationException] {
-      Fx.digest(lit("x"), "blake3")
-    }
+  test("unknown digest methods error") {
     intercept[IllegalArgumentException] {
       Fx.digest(lit("x"), "crc32")
     }

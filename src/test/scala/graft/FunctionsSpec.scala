@@ -26,11 +26,10 @@ class FunctionsSpec extends SparkSpec {
       "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
   }
 
-  test("digest dispatches by method and rejects blake/unknown") {
+  test("digest dispatches by method and rejects unknown") {
     val df = Seq("x").toDF("s")
     assert(df.select(Fx.digest($"s", "md5")).collect().head.getString(0) ==
       "9dd4e461268c8034f5c8564e155c67a6")
-    intercept[UnsupportedOperationException](Fx.digest($"s", "blake3"))
     intercept[IllegalArgumentException](Fx.digest($"s", "nope"))
   }
 
