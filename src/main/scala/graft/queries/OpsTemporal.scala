@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** Temporal-join queries: as-of joins (backward + forward) and a binned
+  * point-in-interval range join. These extend the reference surface with the
+  * time-series operators a training-data/event pipeline needs; the DuckDB
+  * oracles use its native ASOF JOIN and inequality-join planners — genuinely
+  * independent implementations of the same semantics.
+  */
+object OpsTemporal extends Suite {
+
+  // -- as-of backward: each view/click event picks up the most recent prior
+  //    (inclusive) purchase by the same user. Right side pre-aggregated per
+  //    (user_id, ts) to pin the asofJoin uniqueness contract. ---------------
+  private val asofBackward: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+      .groupBy(col("user_id"), col("pts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val looks = t.events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Temporal.asofJoin(looks, purchases, Seq("user_id"), "ts", "pts")
+      .filter(col("matched_pts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_pts").as("purchase_ts"),
+        col("matched_purchase_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+  private val asofBackwardSql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('view', 'click'))
+      |SELECT l.event_id, l.user_id, l.ts, p.pts AS purchase_ts,
+      |  p.pv AS purchase_value
+      |FROM l ASOF JOIN p ON l.user_id = p.user_id AND l.ts >= p.pts
+      |ORDER BY l.event_id""".stripMargin
+
+  // -- as-of forward: each purchase picks up the next click (inclusive) by
+  //    the same user, plus the wait in µs. ---------------------------------
+  private val asofForward: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val clicks = t.events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id"))
+      .groupBy(col("user_id"), col("cts"))
+      .agg(min(col("event_id")).as("click_id"))
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts", "cts",
+        direction = "forward")
+      .filter(col("matched_cts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_cts").as("next_click_ts"),
+        (unix_micros(col("matched_cts")) - unix_micros(col("ts")))
+          .as("wait_us"),
+        col("matched_click_id").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+  private val asofForwardSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+      |    min(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, l.ts, c.cts AS next_click_ts,
+      |  epoch_us(c.cts) - epoch_us(l.ts) AS wait_us, c.click_id
+      |FROM l ASOF JOIN c ON l.user_id = c.user_id AND l.ts <= c.cts
+      |ORDER BY l.event_id""".stripMargin
+
+  // -- range join: shipments falling inside the 30-day window after any
+  //    big order's date (a pure inequality join — no equi key at all). The
+  //    7-day bin width keeps buckets-per-interval at ~5 while each shipment
+  //    probes one bucket. l_quantity sums are integer-valued doubles, so the
+  //    sum is order-independent and exact. ---------------------------------
+  private val usPerDay = 86400000000L
+  private val rangeJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val bigOrders = t.orders
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val shipments =
+      t.lineitem.select(col("l_quantity"), col("l_shipdate"))
+    // parquet dates are TIMESTAMP_NTZ; cast to TIMESTAMP for unix_micros
+    // (session tz is UTC, so the instant is unchanged)
+    val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+    val orderUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    Temporal.rangeJoinBinned(
+        shipments, shipUs,
+        bigOrders, orderUs, orderUs + lit(30L * usPerDay),
+        binWidth = 7L * usPerDay)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipments"),
+           sum(col("l_quantity")).as("qty"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val rangeJoinSql =
+    """SELECT o.o_orderkey, count(*) AS n_shipments,
+      |  sum(l.l_quantity) AS qty
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+      |WHERE o.o_totalprice > 450000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "op_asof_join" -> asofBackward,
+    "op_asof_fwd" -> asofForward,
+    "op_range_join" -> rangeJoin)
+
+  def oracle: Map[String, String] = Map(
+    "op_asof_join" -> asofBackwardSql,
+    "op_asof_fwd" -> asofForwardSql,
+    "op_range_join" -> rangeJoinSql)
+}

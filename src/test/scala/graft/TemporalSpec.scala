@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: asofJoin parity vs a brute-force theta-join
+  * formulation (including tie and no-match cases), and rangeJoinBinned
+  * parity vs Spark's own non-equi join across bin-boundary cases. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 300L),
+    (4L, "b", 50L), (5L, "b", 500L),
+    (6L, "c", 10L) // key with no right rows at all
+  ).toDF("id", "k", "t")
+
+  private val right = Seq(
+    ("a", 100L, 1.0), ("a", 200L, 2.0), ("a", 310L, 3.0),
+    ("b", 60L, 4.0), ("b", 400L, 5.0)
+  ).toDF("k", "rt", "v")
+
+  test("asofJoin backward matches brute-force most-recent-at-or-before") {
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", "rt")
+      .select("id", "matched_rt", "matched_v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    // brute force: join all right rows with rt <= t, keep max rt per left id
+    val brute = left.join(right,
+        left("k") === right("k") && col("rt") <= col("t"), "left")
+      .groupBy(col("id")).agg(max(struct(col("rt"), col("v"))).as("m"))
+      .select(col("id"), col("m.rt"), col("m.v"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == brute)
+    // tie: left t=100 matches right rt=100 (inclusive)
+    assert(got.contains((1L, 100L, 1.0)))
+    // no right rows for key c -> null match survives (left-outer)
+    assert(got.contains((6L, null, null)))
+  }
+
+  test("asofJoin forward matches brute-force earliest-at-or-after") {
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward")
+      .select("id", "matched_rt", "matched_v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val brute = left.join(right,
+        left("k") === right("k") && col("rt") >= col("t"), "left")
+      .groupBy(col("id")).agg(min(struct(col("rt"), col("v"))).as("m"))
+      .select(col("id"), col("m.rt"), col("m.v"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == brute)
+    // t=500 for key b has no later right row -> null
+    assert(got.contains((5L, null, null)))
+  }
+
+  test("asofJoin keeps left payload columns and rejects bad direction") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt")
+    assert(out.columns.toSeq ==
+      Seq("k", "id", "t", "matched_v", "matched_rt"))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, Seq("k"), "t", "rt", "sideways")
+    }
+  }
+
+  test("rangeJoinBinned matches plain non-equi join incl. bin boundaries") {
+    val points = Seq(9L, 10L, 19L, 20L, 21L, 35L, 99L)
+      .toDF("pt").withColumn("pid", col("pt"))
+    // intervals crossing bin boundaries, zero-length, and bin-aligned
+    val intervals = Seq((1L, 10L, 20L), (2L, 5L, 36L), (3L, 20L, 20L),
+      (4L, 30L, 31L)).toDF("iid", "s", "e")
+    for (bin <- Seq(1L, 7L, 10L, 100L)) {
+      val got = Temporal.rangeJoinBinned(points, col("pt"),
+          intervals, col("s"), col("e"), bin)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = points.join(intervals,
+          col("pt") >= col("s") && col("pt") < col("e"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // same multiset: each pair exactly once regardless of bin width
+      assert(got.sorted == want.sorted, s"binWidth=$bin")
+    }
+  }
+}
