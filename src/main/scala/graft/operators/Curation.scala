@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling, PII redaction, Gopher-style repetition statistics,
+  * and int8 embedding quantization.
+  *
+  * Scale design: sampling, redaction, and quantization are pure column
+  * expressions — narrow map-side scans with zero shuffle at any corpus
+  * size. Repetition stats shuffle once on (doc, token) with map-side
+  * combine, then once on doc — both keys are high-cardinality and
+  * skew-free by construction.
+  */
+object Curation {
+
+  // ---- deterministic stratified sampling ---------------------------------
+
+  /** 32-bit bucket of `id` under `salt`: the first 8 hex chars of
+    * md5(salt || id) as a long in [0, 2^32). Content-deterministic —
+    * re-running on any cluster layout, partitioning, or engine yields the
+    * same sample (md5 is bit-stable everywhere, unlike engine-native
+    * hashes), which is what makes train/eval splits reproducible. */
+  def sampleBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Per-stratum deterministic Bernoulli sample: keep a row iff its bucket
+    * falls under floor(rate * 2^32) for its stratum's rate. A pure
+    * map-side filter — no shuffle, no RNG state, no sample() nondeterminism.
+    * Unlisted strata are dropped (rate 0). */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       rates: Map[String, Double], salt: String): DataFrame = {
+    val bucket = sampleBucket(id, salt)
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(thresholdFor(r))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** floor(rate * 2^32) as the bucket cutoff — exposed so oracle SQL can
+    * embed the identical integer literal. */
+  def thresholdFor(rate: Double): Long =
+    math.floor(rate * 4294967296.0).toLong
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Redaction patterns, written to the common subset of Java regex and
+    * RE2 (character classes, bounded repetition, \b — no lookaround, no
+    * backrefs) so any engine in the pipeline redacts identically. */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String =
+    "\\+\\d{1,2}-\\d{3}-\\d{3,4}\\b"
+
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Chained redaction — email first (its charset overlaps neither of the
+    * others), then IP, then phone. One codegen'd projection. */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, emailPattern, "<EMAIL>")
+    val i = regexp_replace(e, ipPattern, "<IP>")
+    regexp_replace(i, phonePattern, "<PHONE>")
+  }
+
+  // ---- Gopher-style repetition statistics --------------------------------
+
+  /** Per-document word-repetition profile: token count, distinct-token
+    * count, the most frequent token (ties → lexicographically smallest)
+    * and its count, plus the two ratio signals quality filters cut on
+    * (top-token fraction ≈ "mode domination", distinct fraction ≈
+    * vocabulary collapse). Ratios are raw IEEE divisions — deterministic
+    * bit-for-bit on identical inputs. */
+  def repetitionStats(df: DataFrame, docId: Column,
+                      text: Column): DataFrame = {
+    val toks = df.select(docId.as("doc_id"),
+      explode(split(trim(text), "\\s+")).as("w"))
+    val cnts = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    cnts
+      .withColumn("top_cnt", max(col("cnt")).over(perDoc))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("top_cnt")).as("top_cnt"),
+        min(when(col("cnt") === col("top_cnt"), col("w"))).as("top_word"))
+      .withColumn("top_frac",
+        col("top_cnt").cast("double") / col("n_words"))
+      .withColumn("distinct_frac",
+        col("n_distinct").cast("double") / col("n_words"))
+  }
+
+  // ---- int8 embedding quantization ---------------------------------------
+
+  /** Symmetric int8 quantization of a float-vector column: per-vector
+    * scale = 127 / max|x| (1.0 for all-zero vectors), element q =
+    * floor(x·scale + 0.5) ∈ [-127, 127]. `floor(+0.5)` is spelled out
+    * instead of round() because engines disagree on round-half semantics
+    * but all agree on floor. Returns (scale, quantized, maxErr) columns —
+    * 4× smaller vectors for ANN shortlisting, with the reconstruction
+    * error bound maxErr ≤ 1/(2·scale) to verify. */
+  def quantizeInt8(vec: Column): (Column, Column, Column) = {
+    val dv = transform(vec, x => x.cast("double"))
+    val mx = array_max(transform(dv, x => abs(x)))
+    val scale = when(mx === 0.0, lit(1.0)).otherwise(lit(127.0) / mx)
+    val q = transform(dv, x => floor(x * scale + lit(0.5)).cast("int"))
+    val err = array_max(zip_with(dv, q,
+      (x, qq) => abs(qq.cast("double") / scale - x)))
+    (scale, q, err)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries: deterministic stratified sampling, PII
+  * redaction, repetition statistics, exact percentiles, and int8
+  * embedding quantization — the curation passes a training-data pipeline
+  * runs between dedup and tokenization. Every query here has an exact
+  * DuckDB oracle: determinism (md5 buckets, floor-based rounding, raw
+  * IEEE ratios) is part of each operator's design, precisely so results
+  * are reproducible across engines and re-runs.
+  */
+object OpsCuration extends Suite {
+
+  // -- stratified sampling: downsample dominant 'en', keep more of the
+  //    tail languages. Buckets are md5-based (engine-portable), thresholds
+  //    are exact integer literals on both sides. -------------------------
+  private val salt = "graft-sample-v1:"
+  private val enRate = 0.25
+  private val restRate = 0.6
+  private val sampleStratified: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val rates = Map("en" -> enRate, "de" -> restRate, "fr" -> restRate,
+      "es" -> restRate, "zh" -> restRate)
+    Curation.stratifiedSample(t.documents, col("lang"), col("doc_id"),
+        rates, salt)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  private val sampleStratifiedSql =
+    s"""SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)),
+      |                           1, 8)) AS BIGINT)
+      |  < CASE WHEN lang = 'en' THEN ${Curation.thresholdFor(enRate)}
+      |         ELSE ${Curation.thresholdFor(restRate)} END
+      |ORDER BY doc_id""".stripMargin
+
+  // -- PII redaction: the corpus is synthetic word-soup with no real PII,
+  //    so the query plants deterministic contact strings derived from the
+  //    row's own columns, then redacts them — both sides build the same
+  //    string, so counts and redacted output compare exactly. ------------
+  private val piiRedact: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val synth = concat(
+      lit("user"), col("doc_id").cast("string"),
+      lit("@mail-"), col("source"), lit(".com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit(" :: "), substring(col("text"), 1, 40))
+    t.documents.select(
+        col("doc_id"),
+        Curation.countMatches(synth, Curation.emailPattern)
+          .cast("long").as("n_emails"),
+        Curation.countMatches(synth, Curation.phonePattern)
+          .cast("long").as("n_phones"),
+        Curation.countMatches(synth, Curation.ipPattern)
+          .cast("long").as("n_ips"),
+        Curation.redactPii(synth).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+  private val piiRedactSql = {
+    val synth = "'user' || CAST(doc_id AS VARCHAR) || '@mail-' || source" +
+      " || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR)," +
+      " 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'" +
+      " || CAST((doc_id * 7) % 256 AS VARCHAR) || ' :: ' ||" +
+      " substr(text, 1, 40)"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{1,2}-\\d{3}-\\d{3,4}\\b"
+    s"""WITH s AS (SELECT doc_id, $synth AS synth FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(synth, '$email')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(synth, '$phone')) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(len(regexp_extract_all(synth, '$ip')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(synth,
+      |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+      |    '$phone', '<PHONE>', 'g') AS redacted
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // -- repetition stats (Gopher-style quality signals) -------------------
+  private val repetition: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.repetitionStats(t.documents, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+  private val repetitionSql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |        count(*) AS n_distinct, max(cnt) AS top_cnt
+      |      FROM c GROUP BY 1),
+      |t AS (SELECT c.doc_id, min(c.w) AS top_word
+      |      FROM c JOIN m ON c.doc_id = m.doc_id AND c.cnt = m.top_cnt
+      |      GROUP BY 1)
+      |SELECT m.doc_id, m.n_words, m.n_distinct, m.top_cnt, t.top_word,
+      |  CAST(m.top_cnt AS DOUBLE) / m.n_words AS top_frac,
+      |  CAST(m.n_distinct AS DOUBLE) / m.n_words AS distinct_frac
+      |FROM m JOIN t ON m.doc_id = t.doc_id
+      |ORDER BY m.doc_id""".stripMargin
+
+  // -- exact percentiles of document length per language. Both engines
+  //    define the continuous quantile as linear interpolation at
+  //    p·(n−1); rounded to 6 to absorb 1-ulp interpolation differences. --
+  private val percentiles: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n_chars"), lit(0.75)), 6).as("p75"))
+      .orderBy(col("lang"))
+  }
+  private val percentilesSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 6) AS p75
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -- int8 quantization profile: per-vector scale, quantized checksum +
+  //    range, and max reconstruction error. All raw doubles — every step
+  //    (float→double, ×, floor, ÷, −, abs, max) is the same IEEE op on
+  //    both engines. -----------------------------------------------------
+  private val quantize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val (scale, q, err) = Curation.quantizeInt8(col("embedding"))
+    t.embeddings.select(
+        col("vec_id"),
+        scale.as("scale"),
+        aggregate(q, lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        array_min(q).cast("long").as("qmin"),
+        array_max(q).cast("long").as("qmax"),
+        err.as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+  private val quantizeSql =
+    """WITH b AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS dv FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, dv,
+      |    CASE WHEN list_max(list_transform(dv, x -> abs(x))) = 0 THEN 1.0
+      |         ELSE 127.0 / list_max(list_transform(dv, x -> abs(x))) END
+      |      AS scale
+      |  FROM b),
+      |q AS (
+      |  SELECT vec_id, dv, scale,
+      |    list_transform(dv, x -> CAST(floor(x * scale + 0.5) AS INTEGER))
+      |      AS qv
+      |  FROM m)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+      |  CAST(list_min(qv) AS BIGINT) AS qmin,
+      |  CAST(list_max(qv) AS BIGINT) AS qmax,
+      |  list_max(list_transform(range(1, len(qv) + 1),
+      |    i -> abs(qv[i] / scale - dv[i]))) AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "llm_sample_stratified" -> sampleStratified,
+    "llm_pii_redact" -> piiRedact,
+    "llm_repetition" -> repetition,
+    "op_agg_percentile" -> percentiles,
+    "llm_embed_quantize" -> quantize)
+
+  def oracle: Map[String, String] = Map(
+    "llm_sample_stratified" -> sampleStratifiedSql,
+    "llm_pii_redact" -> piiRedactSql,
+    "llm_repetition" -> repetitionSql,
+    "op_agg_percentile" -> percentilesSql,
+    "llm_embed_quantize" -> quantizeSql)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operators: sampling determinism and rate calibration, PII
+  * redaction, repetition stats on crafted documents, int8 quantization
+  * error bound. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample is deterministic and tracks the target rates") {
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 4 == 0) "en" else "de")).toDF("id", "lang")
+    val rates = Map("en" -> 0.25, "de" -> 0.75)
+    val once = Curation.stratifiedSample(df, col("lang"), col("id"),
+      rates, "s1:").select("id").as[Long].collect().toSet
+    val again = Curation.stratifiedSample(df, col("lang"), col("id"),
+      rates, "s1:").select("id").as[Long].collect().toSet
+    assert(once == again) // bit-for-bit reproducible
+    val en = once.count(_ % 4 == 0) / 1000.0
+    val de = once.count(_ % 4 != 0) / 3000.0
+    assert(math.abs(en - 0.25) < 0.05, s"en rate $en")
+    assert(math.abs(de - 0.75) < 0.05, s"de rate $de")
+    // a different salt draws a different sample
+    val other = Curation.stratifiedSample(df, col("lang"), col("id"),
+      rates, "s2:").select("id").as[Long].collect().toSet
+    assert(other != once)
+    // unlisted strata are dropped entirely
+    val dropped = Curation.stratifiedSample(df, col("lang"), col("id"),
+      Map("en" -> 1.0), "s1:").select("lang").distinct()
+      .as[String].collect().toSeq
+    assert(dropped == Seq("en"))
+  }
+
+  test("redactPii masks emails, IPs, and phones; counts match") {
+    val df = Seq(
+      "write bob.smith+x@corp-mail.io from 192.168.0.1 or +44-201-7777",
+      "no pii here at all").toDF("t")
+    val out = df.select(
+      Curation.redactPii(col("t")).as("r"),
+      Curation.countMatches(col("t"), Curation.emailPattern).as("e"),
+      Curation.countMatches(col("t"), Curation.ipPattern).as("i"),
+      Curation.countMatches(col("t"), Curation.phonePattern).as("p"))
+      .collect()
+    assert(out(0).getString(0) ==
+      "write <EMAIL> from <IP> or <PHONE>")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3))
+      == ((1, 1, 1)))
+    assert(out(1).getString(0) == "no pii here at all")
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3))
+      == ((0, 0, 0)))
+  }
+
+  test("repetitionStats computes exact counts, top word, and ratios") {
+    val df = Seq(
+      (1L, "a b a c a b"),      // a:3 b:2 c:1
+      (2L, "x x y y"),          // tie at 2 -> lexicographically 'x'
+      (3L, "solo")).toDF("id", "text")
+    val rows = Curation.repetitionStats(df, col("id"), col("text"))
+      .orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getString(4)) == ((6L, 3L, 3L, "a")))
+    assert(r1.getDouble(5) == 3.0 / 6 && r1.getDouble(6) == 3.0 / 6)
+    val r2 = rows(1)
+    assert((r2.getLong(3), r2.getString(4)) == ((2L, "x")))
+    val r3 = rows(2)
+    assert((r3.getLong(1), r3.getDouble(5)) == ((1L, 1.0)))
+  }
+
+  test("quantizeInt8 bounds reconstruction error and handles zeros") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(2.0f))).toDF("id", "v")
+    val (scale, q, err) = Curation.quantizeInt8(col("v"))
+    val rows = df.select(col("id"), scale.as("s"), q.as("q"),
+      err.as("e")).orderBy("id").collect()
+    // max|x|=1.0 -> scale 127; q = [64, -127, 32] (floor(x*127+0.5))
+    assert(rows(0).getSeq[Int](2) == Seq(64, -127, 32))
+    // error bound: |q/scale - x| <= 0.5/scale
+    assert(rows(0).getDouble(3) <= 0.5 / rows(0).getDouble(1) + 1e-12)
+    // all-zero vector: scale 1.0, quantized zeros, zero error
+    assert(rows(1).getDouble(1) == 1.0)
+    assert(rows(1).getSeq[Int](2) == Seq(0, 0))
+    assert(rows(1).getDouble(3) == 0.0)
+    // scale shrinks for max|x|>1
+    assert(rows(2).getDouble(1) == 63.5)
+    assert(rows(2).getSeq[Int](2) == Seq(127))
+  }
+}
