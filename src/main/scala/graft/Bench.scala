@@ -20,7 +20,10 @@ object Bench {
       "llm_text_stats", "llm_fingerprint_groups", "llm_dedup_exact",
       "llm_dedup_ngram", "llm_dedup_minhash", "llm_dedup_simhash",
       "llm_embed_topk", "llm_embed_ivf_topk", "llm_embed_ann_pairs",
-      "llm_pipeline_curate")
+      "llm_pipeline_curate",
+      // round-3 additions: temporal joins + curation passes
+      "op_asof_join", "op_range_join", "llm_repetition",
+      "llm_embed_quantize", "llm_sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

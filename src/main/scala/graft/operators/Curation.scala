@@ -78,8 +78,12 @@ object Curation {
     * bit-for-bit on identical inputs. */
   def repetitionStats(df: DataFrame, docId: Column,
                       text: Column): DataFrame = {
+    // explode_outer + attribute filter: see decontaminate — a plain
+    // explode gets size/isnotnull filters inferred beneath it that
+    // re-inline (and so re-evaluate) the tokenizer per row.
     val toks = df.select(docId.as("doc_id"),
-      explode(split(trim(text), "\\s+")).as("w"))
+        explode_outer(split(trim(text), "\\s+")).as("w"))
+      .filter(col("w").isNotNull)
     val cnts = toks.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
     val perDoc = Window.partitionBy(col("doc_id"))
@@ -97,22 +101,87 @@ object Curation {
         col("n_distinct").cast("double") / col("n_words"))
   }
 
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Adds a column `out` holding the token k-gram shingles of `text` as
+    * strings, empty for documents shorter than k tokens. (The size guard
+    * matters: sequence(1, n) DESCENDS for n < 1 instead of returning
+    * empty.)
+    *
+    * DataFrame-shaped for the same reason as quantizeInt8: the token array
+    * must be a bound column, not an expression the shingle lambda re-embeds
+    * — inlined, the regex tokenizer re-runs for every shingle, turning an
+    * O(tokens) scan into O(tokens²) per document (measured 2.6s → 0.3s at
+    * sf0.1). */
+  def withTokenShingles(df: DataFrame, text: Column, k: Int,
+                        out: String): DataFrame = {
+    val toks = col("__toks")
+    df.withColumn("__toks", split(trim(text), "\\s+"))
+      .withColumn(out,
+        when(size(toks) >= k,
+            transform(sequence(lit(1), size(toks) - lit(k - 1)),
+              i => concat_ws(" ", slice(toks, i, lit(k)))))
+          .otherwise(array().cast("array<string>")))
+      .drop("__toks")
+  }
+
+  /** Benchmark decontamination: which training documents share at least one
+    * token k-gram with the benchmark/eval corpus, and how many distinct
+    * shingles leak. Returns (doc_id, n_shared) for contaminated docs only.
+    *
+    * Scale shape: eval corpora are orders of magnitude smaller than
+    * training corpora, so the distinct benchmark-shingle side stays
+    * broadcastable and the train side is a single narrow scan + explode
+    * with no train-side shuffle before the (broadcast) join; the
+    * count-distinct then aggregates per train doc. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    docId: String, text: String, k: Int): DataFrame = {
+    // explode_outer, NOT explode: for a plain explode the optimizer infers
+    // `size(arrayExpr) > 0 AND isnotnull(arrayExpr)` filters below the
+    // Generate, and predicate pushdown re-inlines the whole shingle
+    // expression into them — evaluating the tokenizer pipeline ~3× per
+    // document (measured 9s vs 1s at sf0.1). explode_outer admits no such
+    // inference; the cheap attribute-level isNotNull restores inner
+    // semantics.
+    val benchShingles = withTokenShingles(bench, col(text), k, "__sh")
+      .select(explode_outer(col("__sh")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    withTokenShingles(train, col(text), k, "__sh")
+      .select(col(docId), explode_outer(col("__sh")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .join(benchShingles, "sh")
+      .groupBy(col(docId))
+      .agg(count_distinct(col("sh")).as("n_shared"))
+  }
+
   // ---- int8 embedding quantization ---------------------------------------
 
   /** Symmetric int8 quantization of a float-vector column: per-vector
     * scale = 127 / max|x| (1.0 for all-zero vectors), element q =
     * floor(x·scale + 0.5) ∈ [-127, 127]. `floor(+0.5)` is spelled out
     * instead of round() because engines disagree on round-half semantics
-    * but all agree on floor. Returns (scale, quantized, maxErr) columns —
+    * but all agree on floor. Adds (scale, quantized, max_err) columns —
     * 4× smaller vectors for ANN shortlisting, with the reconstruction
-    * error bound maxErr ≤ 1/(2·scale) to verify. */
-  def quantizeInt8(vec: Column): (Column, Column, Column) = {
-    val dv = transform(vec, x => x.cast("double"))
-    val mx = array_max(transform(dv, x => abs(x)))
-    val scale = when(mx === 0.0, lit(1.0)).otherwise(lit(127.0) / mx)
-    val q = transform(dv, x => floor(x * scale + lit(0.5)).cast("int"))
-    val err = array_max(zip_with(dv, q,
-      (x, qq) => abs(qq.cast("double") / scale - x)))
-    (scale, q, err)
-  }
+    * error bound max_err ≤ 1/(2·scale) to verify.
+    *
+    * Deliberately a DataFrame operator, not a single Column expression:
+    * higher-order lambdas are evaluated interpreted, so a scale expression
+    * nested inside the per-element lambdas would recompute the O(d)
+    * array-max for every element — O(d²) per row (measured 9.3s → 0.6s at
+    * sf0.1 on dim-64 vectors). Staged projections evaluate each
+    * intermediate once per row; multi-referenced non-trivial aliases are
+    * exactly what CollapseProject refuses to inline. */
+  def quantizeInt8(df: DataFrame, vec: Column): DataFrame =
+    df.withColumn("__dv", transform(vec, x => x.cast("double")))
+      .withColumn("__mx", array_max(transform(col("__dv"), x => abs(x))))
+      .withColumn("scale",
+        when(col("__mx") === 0.0, lit(1.0))
+          .otherwise(lit(127.0) / col("__mx")))
+      .withColumn("quantized",
+        transform(col("__dv"),
+          x => floor(x * col("scale") + lit(0.5)).cast("int")))
+      .withColumn("max_err",
+        array_max(zip_with(col("__dv"), col("quantized"),
+          (x, q) => abs(q.cast("double") / col("scale") - x))))
+      .drop("__dv", "__mx")
 }

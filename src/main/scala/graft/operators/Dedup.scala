@@ -102,8 +102,14 @@ object Dedup {
          |  THEN transform(sequence(1, size(th) - ${n - 1}),
          |                 i -> xxhash64($hashArgs))
          |  ELSE CAST(array() AS array<bigint>) END""".stripMargin
+    // explode_outer + attribute-level null filter, NOT explode: a plain
+    // explode makes the optimizer infer size/isnotnull filters beneath the
+    // Generate, and predicate pushdown re-inlines the whole token-hash +
+    // shingle expression into them — evaluating the dominant per-row work
+    // of the dedup family ~3× instead of once.
     df.select(col(idCol), expr(s"transform($t, x -> xxhash64(x))").as("th"))
-      .select(col(idCol), explode(expr(shingleArr)).as("sh"))
+      .select(col(idCol), explode_outer(expr(shingleArr)).as("sh"))
+      .filter(col("sh").isNotNull)
       .distinct()
   }
   private def tokensExpr(textCol: String): String =
@@ -374,8 +380,11 @@ object Dedup {
     * hashes. Built as 64 conditional-sum aggregates over exploded tokens —
     * partial aggregation keeps the shuffle at one row per document. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode_outer: avoids the inferred-filter re-tokenization (see
+    // shingles); the null row from an empty token array is dropped below
     val toks = df.select(col(idCol),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok").isNotNull)
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)

@@ -106,6 +106,33 @@ object OpsCuration extends Suite {
       |FROM m JOIN t ON m.doc_id = t.doc_id
       |ORDER BY m.doc_id""".stripMargin
 
+  // -- benchmark decontamination: training docs (source ≠ src0) that leak
+  //    5-token shingles from the benchmark corpus (source = src0). k=5 is
+  //    calibrated to catch the planted near-duplicates without tripping on
+  //    the small synthetic vocabulary's chance 3-gram collisions. ---------
+  private val decontaminate: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.operators.Curation.decontaminate(
+        t.documents.filter(col("source") =!= "src0"),
+        t.documents.filter(col("source") === "src0"),
+        "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"))
+  }
+  private val decontaminateSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+')
+      |    AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS sh
+      |  FROM d),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+      |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+      |FROM sh s JOIN bench b ON s.sh = b.sh
+      |WHERE s.source <> 'src0'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- exact percentiles of document length per language. Both engines
   //    define the continuous quantile as linear interpolation at
   //    p·(n−1); rounded to 6 to absorb 1-ulp interpolation differences. --
@@ -132,14 +159,15 @@ object OpsCuration extends Suite {
   //    both engines. -----------------------------------------------------
   private val quantize: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val (scale, q, err) = Curation.quantizeInt8(col("embedding"))
-    t.embeddings.select(
+    Curation.quantizeInt8(t.embeddings, col("embedding"))
+      .select(
         col("vec_id"),
-        scale.as("scale"),
-        aggregate(q, lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
-        array_min(q).cast("long").as("qmin"),
-        array_max(q).cast("long").as("qmax"),
-        err.as("max_err"))
+        col("scale"),
+        aggregate(col("quantized"), lit(0L), (a, x) => a + x.cast("long"))
+          .as("qsum"),
+        array_min(col("quantized")).cast("long").as("qmin"),
+        array_max(col("quantized")).cast("long").as("qmax"),
+        col("max_err"))
       .orderBy(col("vec_id"))
   }
   private val quantizeSql =
@@ -169,6 +197,7 @@ object OpsCuration extends Suite {
     "llm_sample_stratified" -> sampleStratified,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
+    "llm_decontaminate" -> decontaminate,
     "op_agg_percentile" -> percentiles,
     "llm_embed_quantize" -> quantize)
 
@@ -176,6 +205,7 @@ object OpsCuration extends Suite {
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,
+    "llm_decontaminate" -> decontaminateSql,
     "op_agg_percentile" -> percentilesSql,
     "llm_embed_quantize" -> quantizeSql)
 }

@@ -387,7 +387,11 @@ object OpsLlm extends Suite {
   private val vocabTopk: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.documents
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      // explode_outer: a plain explode gets size/isnotnull filters inferred
+      // beneath it that re-inline (re-run) the tokenizer; the length guard
+      // below already drops the outer-null row
+      .select(explode_outer(split(lower(trim(col("text"))), "\\s+"))
+        .as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))

@@ -79,16 +79,19 @@ object OpsTemporal extends Suite {
       |FROM l ASOF JOIN c ON l.user_id = c.user_id AND l.ts <= c.cts
       |ORDER BY l.event_id""".stripMargin
 
-  // -- range join: shipments falling inside the 30-day window after any
-  //    big order's date (a pure inequality join — no equi key at all). The
-  //    7-day bin width keeps buckets-per-interval at ~5 while each shipment
-  //    probes one bucket. l_quantity sums are integer-valued doubles, so the
-  //    sum is order-independent and exact. ---------------------------------
+  // -- range join: shipments falling inside the 14-day window after a
+  //    top-price order's date (a pure inequality join — no equi key at
+  //    all). Threshold and window are calibrated so the TRUE result stays
+  //    ~10⁷ pairs at sf0.1 — the pair count is inherent to the query
+  //    semantics (the oracle does identical work), not operator overhead.
+  //    binWidth = window keeps buckets-per-interval ≤ 2. l_quantity sums
+  //    are integer-valued doubles, so the sum is order-independent and
+  //    exact. ---------------------------------------------------------------
   private val usPerDay = 86400000000L
   private val rangeJoin: Q = (s, dir) => {
     val t = Tables(s, dir)
     val bigOrders = t.orders
-      .filter(col("o_totalprice") > 450000)
+      .filter(col("o_totalprice") > 490000)
       .select(col("o_orderkey"), col("o_orderdate"))
     val shipments =
       t.lineitem.select(col("l_quantity"), col("l_shipdate"))
@@ -98,8 +101,8 @@ object OpsTemporal extends Suite {
     val orderUs = unix_micros(col("o_orderdate").cast("timestamp"))
     Temporal.rangeJoinBinned(
         shipments, shipUs,
-        bigOrders, orderUs, orderUs + lit(30L * usPerDay),
-        binWidth = 7L * usPerDay)
+        bigOrders, orderUs, orderUs + lit(14L * usPerDay),
+        binWidth = 14L * usPerDay)
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_shipments"),
            sum(col("l_quantity")).as("qty"))
@@ -110,8 +113,8 @@ object OpsTemporal extends Suite {
       |  sum(l.l_quantity) AS qty
       |FROM orders o JOIN lineitem l
       |  ON l.l_shipdate >= o.o_orderdate
-      | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
-      |WHERE o.o_totalprice > 450000
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 14 DAY
+      |WHERE o.o_totalprice > 490000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def defs: Map[String, Q] = Map(

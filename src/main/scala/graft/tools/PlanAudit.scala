@@ -29,12 +29,14 @@ object PlanAudit {
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // execute so AQE finalizes its runtime plan choices
+      val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
       val qe: QueryExecution = df.queryExecution
       val plan = qe.executedPlan.toString
       def count(marker: String): Int =
         marker.r.findAllIn(plan).length
-      println(s"== $name")
+      println(f"== $name  ($secs%.2fs)")
       // codegen spans show as `*(n)` operator prefixes in executedPlan's
       // string form (the word WholeStageCodegen never appears there)
       println(s"   BroadcastHashJoin=${count("BroadcastHashJoin")} " +

@@ -69,14 +69,29 @@ class CurationSpec extends SparkSpec {
     assert((r3.getLong(1), r3.getDouble(5)) == ((1L, 1.0)))
   }
 
+  test("tokenShingles handles short docs; decontaminate counts leaks") {
+    val short = Curation.withTokenShingles(
+        Seq("a b c").toDF("text"), col("text"), 5, "sh")
+      .select("sh").collect()(0).getSeq[String](0)
+    assert(short.isEmpty) // < k tokens -> empty, not a descending sequence
+    val bench = Seq((100L, "q w e r t y")).toDF("id", "text")
+    val train = Seq(
+      (1L, "x q w e r t y z"), // contains both bench 5-grams
+      (2L, "q w e r x t y"),   // no full 5-gram match
+      (3L, "unrelated words entirely here now")).toDF("id", "text")
+    val got = Curation.decontaminate(train, bench, "id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // doc 1 leaks 2 distinct shingles
+  }
+
   test("quantizeInt8 bounds reconstruction error and handles zeros") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
       (2L, Array(0.0f, 0.0f)),
       (3L, Array(2.0f))).toDF("id", "v")
-    val (scale, q, err) = Curation.quantizeInt8(col("v"))
-    val rows = df.select(col("id"), scale.as("s"), q.as("q"),
-      err.as("e")).orderBy("id").collect()
+    val rows = Curation.quantizeInt8(df, col("v"))
+      .select(col("id"), col("scale"), col("quantized"), col("max_err"))
+      .orderBy("id").collect()
     // max|x|=1.0 -> scale 127; q = [64, -127, 32] (floor(x*127+0.5))
     assert(rows(0).getSeq[Int](2) == Seq(64, -127, 32))
     // error bound: |q/scale - x| <= 0.5/scale
