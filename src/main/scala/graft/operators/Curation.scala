@@ -45,6 +45,18 @@ object Curation {
   def thresholdFor(rate: Double): Long =
     math.floor(rate * 4294967296.0).toLong
 
+  /** Exactly-k-per-stratum deterministic sample: the k rows with the
+    * smallest md5 bucket (ties broken by id) in each stratum. Runs through
+    * the GroupedTopK whole-operator — per-partition bounded heaps, no
+    * stratum ever sorts — so a fixed-size eval split over a 100 TB corpus
+    * costs one shuffle of ≤ k·mappers rows per stratum. */
+  def stratifiedFixedSample(df: DataFrame, stratum: String, id: Column,
+                            k: Int, salt: String): DataFrame =
+    graft.plans.GroupedTopK(
+        df.withColumn("__rk", sampleBucket(id, salt)),
+        Seq(stratum), Seq(col("__rk").asc, id.asc), k)
+      .drop("__rk")
+
   // ---- PII redaction ------------------------------------------------------
 
   /** Redaction patterns, written to the common subset of Java regex and

@@ -35,13 +35,19 @@ object Temporal {
     * rows keep nulls (left-outer semantics; filter on the matched ts for
     * inner).
     *
+    * `toleranceUs` caps the allowed gap |tsLeft − matched tsRight|: a match
+    * farther away is nulled out (left row kept — filter the matched ts for
+    * inner semantics). For timestamp columns the unit is microseconds; for
+    * integral time columns it is the column's own unit.
+    *
     * Contract: `right` must be unique on (`by`, `tsRight`) — with duplicate
     * right timestamps "the most recent row" is ill-defined and the window
     * tie order nondeterministic. Pre-aggregate the right side to enforce it.
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
                tsLeft: String, tsRight: String,
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asof direction must be backward|forward, got $direction")
     // tsLeft travels as __ts (renamed back at the end), so exclude it here —
@@ -89,7 +95,30 @@ object Temporal {
     val withMatch = matched.foldLeft(lSide.unionByName(rSide)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    withMatch
+    // tolerance: null out matches farther than the cap. Works on the raw
+    // time value (µs for timestamps, the column's unit for integrals).
+    def asLong(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+    val bounded = toleranceUs match {
+      case None => withMatch
+      case Some(tol) =>
+        val mts = col(s"matched_$tsRight")
+        val gap =
+          if (direction == "backward") asLong(col("__ts")) - asLong(mts)
+          else asLong(mts) - asLong(col("__ts"))
+        // matched_<tsRight> is LAST in `matched`, so every other matched
+        // column is nulled while mts still holds the original match time
+        matched.foldLeft(withMatch) { (df, c) =>
+          df.withColumn(c,
+            when(mts.isNotNull && gap <= tol, col(c))
+              .otherwise(lit(null).cast(df.schema(c).dataType)))
+        }
+    }
+    bounded
       .filter(col("__tag") === 1)
       .withColumnRenamed("__ts", tsLeft)
       .select((by ++ leftPayload ++ Seq(tsLeft) ++ matched).map(col): _*)

@@ -37,6 +37,24 @@ object OpsCuration extends Suite {
       |         ELSE ${Curation.thresholdFor(restRate)} END
       |ORDER BY doc_id""".stripMargin
 
+  // -- fixed-size stratified sample: exactly 20 docs per language, chosen
+  //    by smallest md5 bucket — runs through the GroupedTopK bounded-heap
+  //    operator (no per-stratum sort anywhere in the plan). -------------
+  private val sampleFixed: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.operators.Curation.stratifiedFixedSample(
+        t.documents.select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), k = 20, salt)
+      .orderBy(col("doc_id"))
+  }
+  private val sampleFixedSql =
+    s"""SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(('0x' || substr(md5('$salt'
+      |      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 20
+      |ORDER BY doc_id""".stripMargin
+
   // -- PII redaction: the corpus is synthetic word-soup with no real PII,
   //    so the query plants deterministic contact strings derived from the
   //    row's own columns, then redacts them — both sides build the same
@@ -153,6 +171,30 @@ object OpsCuration extends Suite {
       |  round(quantile_cont(n_chars, 0.75), 6) AS p75
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -- approximate percentile, tolerance-gated (same pattern as
+  //    op_agg_approx_distinct): the query itself asserts the approximation
+  //    is within 5% of exact and emits the boolean, so the driver's row
+  //    compare carries the assertion; the hashed payload is the exact
+  //    value. ------------------------------------------------------------
+  private val percentileApprox: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("exact_p50"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+          .as("approx_p50"))
+      .select(col("lang"), col("n_docs"), col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          col("exact_p50") * 0.05).as("within_tol"))
+      .orderBy(col("lang"))
+  }
+  private val percentileApproxSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.50), 6) AS exact_p50,
+      |  TRUE AS within_tol
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // -- int8 quantization profile: per-vector scale, quantized checksum +
   //    range, and max reconstruction error. All raw doubles — every step
   //    (float→double, ×, floor, ÷, −, abs, max) is the same IEEE op on
@@ -195,6 +237,8 @@ object OpsCuration extends Suite {
 
   def defs: Map[String, Q] = Map(
     "llm_sample_stratified" -> sampleStratified,
+    "llm_sample_fixed" -> sampleFixed,
+    "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
     "llm_decontaminate" -> decontaminate,
@@ -203,6 +247,8 @@ object OpsCuration extends Suite {
 
   def oracle: Map[String, String] = Map(
     "llm_sample_stratified" -> sampleStratifiedSql,
+    "llm_sample_fixed" -> sampleFixedSql,
+    "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,
     "llm_decontaminate" -> decontaminateSql,

@@ -79,6 +79,43 @@ object OpsTemporal extends Suite {
       |FROM l ASOF JOIN c ON l.user_id = c.user_id AND l.ts <= c.cts
       |ORDER BY l.event_id""".stripMargin
 
+  // -- as-of with tolerance: same backward join, but matches farther than
+  //    one hour are nulled out (then dropped → inner). The oracle keeps
+  //    DuckDB's ASOF match and filters the gap — identical semantics,
+  //    since tolerance never changes WHICH row matches, only whether it
+  //    survives. -----------------------------------------------------------
+  private val usPerHour = 3600000000L
+  private val asofTolerance: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+      .groupBy(col("user_id"), col("pts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val looks = t.events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Temporal.asofJoin(looks, purchases, Seq("user_id"), "ts", "pts",
+        toleranceUs = Some(usPerHour))
+      .filter(col("matched_pts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_pts").as("purchase_ts"),
+        col("matched_purchase_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+  private val asofToleranceSql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('view', 'click'))
+      |SELECT l.event_id, l.user_id, l.ts, p.pts AS purchase_ts,
+      |  p.pv AS purchase_value
+      |FROM l ASOF JOIN p ON l.user_id = p.user_id AND l.ts >= p.pts
+      |WHERE epoch_us(l.ts) - epoch_us(p.pts) <= 3600000000
+      |ORDER BY l.event_id""".stripMargin
+
   // -- range join: shipments falling inside the 14-day window after a
   //    top-price order's date (a pure inequality join — no equi key at
   //    all). Threshold and window are calibrated so the TRUE result stays
@@ -120,10 +157,12 @@ object OpsTemporal extends Suite {
   def defs: Map[String, Q] = Map(
     "op_asof_join" -> asofBackward,
     "op_asof_fwd" -> asofForward,
+    "op_asof_tolerance" -> asofTolerance,
     "op_range_join" -> rangeJoin)
 
   def oracle: Map[String, String] = Map(
     "op_asof_join" -> asofBackwardSql,
     "op_asof_fwd" -> asofForwardSql,
+    "op_asof_tolerance" -> asofToleranceSql,
     "op_range_join" -> rangeJoinSql)
 }

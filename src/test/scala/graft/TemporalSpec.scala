@@ -60,6 +60,40 @@ class TemporalSpec extends SparkSpec {
     assert(got.contains((5L, null, null)))
   }
 
+  test("asofJoin tolerance nulls out matches beyond the gap cap") {
+    // key a: t=205 matches rt=200 (gap 5, inside tol 10);
+    //        t=300 matches rt=200 (gap 100 -> nulled)
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
+        toleranceUs = Some(10L))
+      .select("id", "matched_rt", "matched_v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got.contains((2L, 205L - 5L, 2.0)))
+    assert(got.contains((3L, null, null)))
+    assert(got.contains((1L, 100L, 1.0))) // gap 0 kept
+    // forward with tolerance: t=205 -> rt=310 is 105 away -> nulled
+    val fwd = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward", toleranceUs = Some(10L))
+      .select("id", "matched_rt")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    assert(fwd.contains((2L, null)))
+    assert(fwd.contains((3L, 310L))) // gap 10 inclusive
+  }
+
+  test("asofJoin supports composite by-keys") {
+    val l2 = Seq((1L, "a", 1, 100L), (2L, "a", 2, 100L))
+      .toDF("id", "k1", "k2", "t")
+    val r2 = Seq(("a", 1, 90L, 1.0), ("a", 2, 95L, 2.0))
+      .toDF("k1", "k2", "rt", "v")
+    val got = Temporal.asofJoin(l2, r2, Seq("k1", "k2"), "t", "rt")
+      .select("id", "matched_v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // same k1, different k2 -> each left row matches its own k2's right row
+    assert(got == Set((1L, 1.0), (2L, 2.0)))
+  }
+
   test("asofJoin keeps left payload columns and rejects bad direction") {
     val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt")
     assert(out.columns.toSeq ==
