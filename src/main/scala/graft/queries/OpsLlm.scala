@@ -367,6 +367,45 @@ object OpsLlm extends Suite {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // -- ANN recall, driver-gated (approx_distinct pattern): the per-pair ANN
+  //    output stays rows-only (the bucket structure is engine-specific),
+  //    but this summary is exact — n_exact hash-checks against DuckDB's
+  //    quadratic baseline, and the query itself asserts zero false
+  //    positives (every ANN pair is re-scored exactly, so any non-exact
+  //    pair is a bug) and recall ≥ 0.6 (measured 0.79 at sf0.01 / 0.88 at
+  //    sf0.1; deterministic given the data). --------------------------------
+  private val embedAnnRecall: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val exact = Similarity.exactPairs(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45)
+      .select(col("id_a"), col("id_b"))
+    val ann = Similarity.annPairs(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45, nPlanes = 4, tables = 8)
+      .select(col("id_a"), col("id_b"), lit(1).as("__found"))
+    exact.join(ann.select(col("id_a"), col("id_b"), col("__found")),
+        Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__found"), lit(0))).as("__n_found"))
+      .select(
+        col("n_exact"),
+        (col("__n_found").cast("double") / col("n_exact") >= 0.6)
+          .as("recall_ok"))
+      .crossJoin(
+        ann.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_false_pos")))
+      .select(col("n_exact"), col("n_false_pos"), col("recall_ok"))
+  }
+  private val embedAnnRecallSql =
+    """SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos,
+      |  TRUE AS recall_ok
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                             a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]))) >= 0.45""".stripMargin
+
   // -- multimodal plumbing (stubbed decode; deterministic, rows-only) -------
   private val multimodal: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -487,6 +526,7 @@ object OpsLlm extends Suite {
     "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_ann_pairs" -> embedAnnPairs,
+    "llm_embed_ann_recall" -> embedAnnRecall,
     "llm_multimodal_features" -> multimodal,
     "llm_multimodal_frames" -> multimodalFrames,
     "llm_vocab_topk" -> vocabTopk,
@@ -506,6 +546,7 @@ object OpsLlm extends Suite {
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
+    "llm_embed_ann_recall" -> embedAnnRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,
     "llm_vocab_topk" -> vocabTopkSql,
     "llm_token_budget" -> tokenBudgetSql)
