@@ -28,22 +28,40 @@ object PlanAudit {
 
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      // execute so AQE finalizes its runtime plan choices
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
       val qe: QueryExecution = df.queryExecution
-      val plan = qe.executedPlan.toString
+      // Execute THIS QueryExecution (df.write would spawn a separate one,
+      // leaving qe's adaptive plan un-finalized — auditing only the static
+      // initial plan, not AQE's runtime choices).
+      val t0 = System.nanoTime()
+      qe.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Materialized AQE stages are LEAF nodes wrapping their own subtree,
+      // and codegen collapse happens inside them — unwrap for both the
+      // string markers and the codegen-span count.
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case other => other
+      }
+      def spans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => spans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          spans(q.plan)
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          1 + w.children.map(spans).sum
+        case other => other.children.map(spans).sum
+      }
+      val plan = unwrap(qe.executedPlan).toString
       def count(marker: String): Int =
         marker.r.findAllIn(plan).length
       println(f"== $name  ($secs%.2fs)")
-      // codegen spans show as `*(n)` operator prefixes in executedPlan's
-      // string form (the word WholeStageCodegen never appears there)
       println(s"   BroadcastHashJoin=${count("BroadcastHashJoin")} " +
         s"SortMergeJoin=${count("SortMergeJoin")} " +
         s"ShuffledHashJoin=${count("ShuffledHashJoin")} " +
         s"Exchange=${count("Exchange (?!hashpartitioning#)")} " +
-        s"CodegenSpans=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size} " +
+        s"CodegenSpans=${spans(qe.executedPlan)} " +
         s"Sort=${count("\\bSort\\b")} " +
         s"GroupedTopK=${count("GroupedTopK")} " +
         s"WindowGroupLimit=${count("WindowGroupLimit")}")
