@@ -166,6 +166,82 @@ object Curation {
       .agg(count_distinct(col("sh")).as("n_shared"))
   }
 
+  // ---- document chunking --------------------------------------------------
+
+  /** Splits each document into fixed-size token windows with overlap
+    * (context-window packing prep): chunk i covers tokens
+    * [i·stride + 1, i·stride + chunkTokens], stride = chunkTokens − overlap,
+    * the last chunk clamped to the document end. Pure map-side: stage the
+    * token array, explode a chunk-index range, slice — no shuffle at any
+    * corpus size. Returns (docId, chunk_ix, chunk_tokens, chunk_text).
+    *
+    * Chunk count = 1 + ceil(max(n − chunkTokens, 0) / stride), written in
+    * integer arithmetic so any engine computes the identical count. */
+  def chunkDocuments(df: DataFrame, docId: String, text: Column,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = col("__toks")
+    df.withColumn("__toks", split(trim(text), "\\s+"))
+      .withColumn("__nchunks",
+        lit(1) + (greatest(size(toks) - lit(chunkTokens), lit(0))
+          + lit(stride - 1)).cast("long") / lit(stride))
+      .withColumn("chunk_ix",
+        explode_outer(sequence(lit(0L), col("__nchunks").cast("long") - 1)))
+      .filter(col("chunk_ix").isNotNull)
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(toks, (col("chunk_ix") * stride + 1).cast("int"),
+          lit(chunkTokens))))
+      .withColumn("chunk_tokens",
+        least(lit(chunkTokens),
+          size(toks) - (col("chunk_ix") * stride).cast("int")).cast("long"))
+      .select(col(docId), col("chunk_ix"), col("chunk_tokens"),
+        col("chunk_text"))
+  }
+
+  // ---- BM25 retrieval scoring --------------------------------------------
+
+  /** BM25 document scores for a fixed term set (Robertson/Lucene idf:
+    * ln(1 + (N − df + ½)/(df + ½))). Distributed shape: one explode +
+    * two partial-aggregated shuffles (per-doc tf, per-term df); the
+    * query-term list and the two scalar aggregates (N, avg doc length)
+    * broadcast. Scores are rounded to 6 decimals — ln differs by 1 ulp
+    * across libm implementations — and must be ordered by the ROUNDED
+    * value for cross-engine determinism. */
+  def bm25Scores(df: DataFrame, docId: String, text: Column,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(docId),
+        explode_outer(split(trim(lower(text)), "\\s+")).as("term"))
+      .filter(col("term").isNotNull)
+    val docLen = toks.groupBy(col(docId))
+      .agg(count(lit(1)).as("__len"))
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("__n_docs"),
+      avg(col("__len")).as("__avg_len"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col(docId), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(dfreq, "term")
+      .join(docLen, docId)
+      .crossJoin(stats)
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n_docs") - col("__df") + 0.5)
+          / (col("__df") + 0.5)))
+      // same association order as the oracle SQL:
+      // tf + k1 * ((1 − b) + (b·len)/avgLen)
+      .withColumn("__contrib",
+        col("__idf") * (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("__len") / col("__avg_len"))))
+      .groupBy(col(docId))
+      .agg(round(sum(col("__contrib")), 6).as("score"),
+           count(lit(1)).as("n_terms"))
+  }
+
   // ---- int8 embedding quantization ---------------------------------------
 
   /** Symmetric int8 quantization of a float-vector column: per-vector

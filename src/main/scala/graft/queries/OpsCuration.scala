@@ -195,6 +195,61 @@ object OpsCuration extends Suite {
       |  TRUE AS within_tol
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -- document chunking: 40-token windows, 10-token overlap (stride 30).
+  //    Integer chunk-count arithmetic and clamped slices line up exactly
+  //    with DuckDB's list slicing. --------------------------------------
+  private val chunking: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.operators.Curation.chunkDocuments(
+        t.documents, "doc_id", col("text"), chunkTokens = 40, overlap = 10)
+      .orderBy(col("doc_id"), col("chunk_ix"))
+  }
+  private val chunkingSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    1 + (greatest(len(toks) - 40, 0) + 29) // 30 AS nchunks
+      |  FROM d),
+      |c AS (SELECT doc_id, toks, n, unnest(range(0, nchunks)) AS ci FROM n)
+      |SELECT doc_id, ci AS chunk_ix,
+      |  least(40, n - ci * 30) AS chunk_tokens,
+      |  array_to_string(toks[(ci * 30 + 1):(ci * 30 + 40)], ' ')
+      |    AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
+
+  // -- BM25 retrieval scores for a fixed query-term set. Ordered by the
+  //    ROUNDED score (ln is 1-ulp engine-dependent), ties by doc_id. ----
+  private val bm25Terms = Seq("table", "data", "query", "spark")
+  private val bm25: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.operators.Curation.bm25Scores(
+        t.documents, "doc_id", col("text"), bm25Terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+  private val bm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+      |    '\s+')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
+      |       FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('table', 'data', 'query', 'spark')
+      |       GROUP BY 1, 2),
+      |fr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id,
+      |  round(sum(ln(1.0 + (st.n_docs - fr.df + 0.5) / (fr.df + 0.5))
+      |    * (tf.tf * 2.2)
+      |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / st.avg_len))), 6)
+      |    AS score,
+      |  count(*) AS n_terms
+      |FROM tf JOIN fr USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   // -- int8 quantization profile: per-vector scale, quantized checksum +
   //    range, and max reconstruction error. All raw doubles — every step
   //    (float→double, ×, floor, ÷, −, abs, max) is the same IEEE op on
@@ -242,6 +297,8 @@ object OpsCuration extends Suite {
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
     "llm_decontaminate" -> decontaminate,
+    "llm_chunking" -> chunking,
+    "llm_bm25" -> bm25,
     "op_agg_percentile" -> percentiles,
     "llm_embed_quantize" -> quantize)
 
@@ -252,6 +309,8 @@ object OpsCuration extends Suite {
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,
     "llm_decontaminate" -> decontaminateSql,
+    "llm_chunking" -> chunkingSql,
+    "llm_bm25" -> bm25Sql,
     "op_agg_percentile" -> percentilesSql,
     "llm_embed_quantize" -> quantizeSql)
 }

@@ -84,6 +84,52 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((1L, 2L))) // doc 1 leaks 2 distinct shingles
   }
 
+  test("chunkDocuments: coverage, overlap, clamped tail, short docs") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("id", "text")
+    val rows = Curation.chunkDocuments(df, "id", col("text"),
+        chunkTokens = 5, overlap = 2) // stride 3
+      .orderBy("id", "chunk_ix").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    // starts 1,4,7 -> [w1..w5], [w4..w8], [w7..w10]
+    assert(d1.map(_.getString(3)).toSeq == Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(5L, 5L, 4L))
+    // consecutive chunks share `overlap` tokens
+    assert(d1(0).getString(3).split(" ").takeRight(2).toSeq ==
+      d1(1).getString(3).split(" ").take(2).toSeq)
+    // short doc -> single clamped chunk
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(3)).toSeq == Seq("a b c"))
+    assert(d2.head.getLong(2) == 3L)
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "id", col("text"), 5, 5)
+    }
+  }
+
+  test("bm25Scores ranks exact term matches by relevance") {
+    val df = Seq(
+      (1L, "spark spark spark is fast"),     // heavy on 'spark'
+      (2L, "data and more data in a table"), // two terms, longer
+      (3L, "nothing relevant here at all"),
+      (4L, "spark")).toDF("id", "text")      // short doc, one hit
+    val got = Curation.bm25Scores(df, "id", col("text"),
+        Seq("spark", "data", "table"))
+      .orderBy(col("score").desc, col("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 3 has no query terms -> absent
+    assert(!got.map(_._1).contains(3L))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L))
+    // every present doc scores positive; doc 2 matched two distinct terms
+    assert(got.forall(_._2 > 0))
+    assert(got.find(_._1 == 2L).get._3 == 2L)
+    // short doc with one occurrence outranks none; tf saturation keeps
+    // doc 1 (3x 'spark') above doc 4 (1x, but shorter)
+    val s1 = got.find(_._1 == 1L).get._2
+    val s4 = got.find(_._1 == 4L).get._2
+    assert(s1 > 0 && s4 > 0)
+  }
+
   test("quantizeInt8 bounds reconstruction error and handles zeros") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
