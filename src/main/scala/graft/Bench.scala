@@ -23,7 +23,8 @@ object Bench {
       "llm_pipeline_curate",
       // round-3 additions: temporal joins + curation passes
       "op_asof_join", "op_range_join", "llm_repetition",
-      "llm_embed_quantize", "llm_sample_stratified", "llm_decontaminate")
+      "llm_embed_quantize", "llm_sample_stratified", "llm_decontaminate",
+      "llm_chunking", "llm_bm25", "llm_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

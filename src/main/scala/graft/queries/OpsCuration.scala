@@ -219,6 +219,43 @@ object OpsCuration extends Suite {
       |    AS chunk_text
       |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
 
+  // -- sequence packing: chunks → fixed 2048-token training sequences,
+  //    assigned by the sequence containing each chunk's FIRST token. The
+  //    cumulative position comes from the distributed prefix sum
+  //    (Scale.prefixSum — no single-partition global window), ordered by
+  //    the surrogate key doc_id·1024 + chunk_ix ≡ (doc_id, chunk_ix). ---
+  private val packSequences: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val chunks = graft.operators.Curation.chunkDocuments(
+        t.documents, "doc_id", col("text"), chunkTokens = 40, overlap = 10)
+      .select(col("doc_id"), col("chunk_ix"), col("chunk_tokens"))
+    graft.operators.Scale.prefixSum(chunks,
+        col("doc_id") * 1024 + col("chunk_ix"), col("chunk_tokens"), "cum")
+      .withColumn("seq_ix", expr("(cum - chunk_tokens) div 2048"))
+      .groupBy(col("seq_ix"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("chunk_tokens")).as("n_tokens"))
+      .orderBy(col("seq_ix"))
+  }
+  private val packSequencesSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, len(toks) AS n,
+      |    1 + (greatest(len(toks) - 40, 0) + 29) // 30 AS nchunks
+      |  FROM d),
+      |c AS (SELECT doc_id, unnest(range(0, nchunks)) AS ci, n FROM n),
+      |k AS (SELECT doc_id, ci, least(40, n - ci * 30) AS ct FROM c),
+      |s AS (
+      |  SELECT doc_id, ci, ct,
+      |    sum(ct) OVER (ORDER BY doc_id, ci ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) - ct AS ex
+      |  FROM k)
+      |SELECT ex // 2048 AS seq_ix, count(*) AS n_chunks,
+      |  CAST(sum(ct) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- BM25 retrieval scores for a fixed query-term set. Ordered by the
   //    ROUNDED score (ln is 1-ulp engine-dependent), ties by doc_id. ----
   private val bm25Terms = Seq("table", "data", "query", "spark")
@@ -298,6 +335,7 @@ object OpsCuration extends Suite {
     "llm_repetition" -> repetition,
     "llm_decontaminate" -> decontaminate,
     "llm_chunking" -> chunking,
+    "llm_pack_sequences" -> packSequences,
     "llm_bm25" -> bm25,
     "op_agg_percentile" -> percentiles,
     "llm_embed_quantize" -> quantize)
@@ -310,6 +348,7 @@ object OpsCuration extends Suite {
     "llm_repetition" -> repetitionSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_chunking" -> chunkingSql,
+    "llm_pack_sequences" -> packSequencesSql,
     "llm_bm25" -> bm25Sql,
     "op_agg_percentile" -> percentilesSql,
     "llm_embed_quantize" -> quantizeSql)
