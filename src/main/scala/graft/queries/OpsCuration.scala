@@ -327,6 +327,55 @@ object OpsCuration extends Suite {
       |    i -> abs(qv[i] / scale - dv[i]))) AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // -- quantized ANN shortlist: top-k by DEQUANTIZED int8 dot — the search
+  //    half of the quantization arc. The integer dot (|q| ≤ 127, dim 64 ⇒
+  //    |dot| ≤ ~1M, exact everywhere) must be divided by the two vectors'
+  //    scales to be comparable ACROSS vectors (raw int dots are inflated
+  //    for small-magnitude vectors); the division is one deterministic
+  //    IEEE op, so the oracle stays hash-exact. At scale this is the
+  //    shortlist pass over 4×-compressed vectors, re-scored exactly only
+  //    for survivors. ----------------------------------------------------
+  private val quantizedTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val quantized = Curation.quantizeInt8(t.embeddings, col("embedding"))
+      .select(col("vec_id"), col("quantized"), col("scale"))
+    val queryQ = quantized.filter(col("vec_id") === 0)
+      .select(col("quantized").as("qq"), col("scale").as("qs"))
+    quantized.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryQ))
+      .withColumn("qdot",
+        aggregate(
+          zip_with(col("quantized"), col("qq"),
+            (x, y) => (x * y).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .select(col("vec_id"), col("qdot"),
+        (col("qdot") / (col("scale") * col("qs"))).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(20)
+  }
+  private val quantizedTopkSql =
+    """WITH b AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS dv FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, dv,
+      |    CASE WHEN list_max(list_transform(dv, x -> abs(x))) = 0 THEN 1.0
+      |         ELSE 127.0 / list_max(list_transform(dv, x -> abs(x))) END
+      |      AS scale
+      |  FROM b),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(dv, x -> CAST(floor(x * scale + 0.5) AS INTEGER))
+      |      AS qv
+      |  FROM m),
+      |probe AS (SELECT qv AS qq, scale AS qs FROM q WHERE vec_id = 0)
+      |SELECT q.vec_id,
+      |  CAST(list_dot_product(q.qv, probe.qq) AS BIGINT) AS qdot,
+      |  CAST(list_dot_product(q.qv, probe.qq) AS BIGINT)
+      |    / (q.scale * probe.qs) AS approx_dot
+      |FROM q, probe WHERE q.vec_id <> 0
+      |ORDER BY approx_dot DESC, q.vec_id LIMIT 20""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_fixed" -> sampleFixed,
@@ -338,7 +387,8 @@ object OpsCuration extends Suite {
     "llm_pack_sequences" -> packSequences,
     "llm_bm25" -> bm25,
     "op_agg_percentile" -> percentiles,
-    "llm_embed_quantize" -> quantize)
+    "llm_embed_quantize" -> quantize,
+    "llm_embed_quantized_topk" -> quantizedTopk)
 
   def oracle: Map[String, String] = Map(
     "llm_sample_stratified" -> sampleStratifiedSql,
@@ -351,5 +401,6 @@ object OpsCuration extends Suite {
     "llm_pack_sequences" -> packSequencesSql,
     "llm_bm25" -> bm25Sql,
     "op_agg_percentile" -> percentilesSql,
-    "llm_embed_quantize" -> quantizeSql)
+    "llm_embed_quantize" -> quantizeSql,
+    "llm_embed_quantized_topk" -> quantizedTopkSql)
 }

@@ -130,6 +130,35 @@ class CurationSpec extends SparkSpec {
     assert(s1 > 0 && s4 > 0)
   }
 
+  test("dequantized int8 dot approximates the exact dot per vector") {
+    // raw int dots are NOT comparable across vectors (scales differ);
+    // dividing by both scales recovers the true dot within the
+    // quantization error bound
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),   // query
+      (1L, Array(0.9f, 0.1f, 0.4f)),   // exact dot 1.1
+      (2L, Array(-0.8f, 0.2f, 0.1f)),  // exact dot -0.75
+      (3L, Array(0.5f, 0.5f, 0.5f))).toDF("id", "v") // exact dot 0.75
+    val qz = Curation.quantizeInt8(df, col("v"))
+      .select(col("id"), col("quantized"), col("scale"))
+    val query = qz.filter(col("id") === 0)
+      .select(col("quantized").as("qq"), col("scale").as("qs"))
+    val dots = qz.filter(col("id") =!= 0).crossJoin(query)
+      .withColumn("qdot", aggregate(
+        zip_with(col("quantized"), col("qq"),
+          (x, y) => (x * y).cast("long")),
+        lit(0L), (a, x) => a + x))
+      .select(col("id"),
+        (col("qdot") / (col("scale") * col("qs"))).as("ad"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exact = Map(1L -> 1.1, 2L -> -0.75, 3L -> 0.75)
+    exact.foreach { case (id, e) =>
+      assert(math.abs(dots(id) - e) < 0.02, s"id=$id got ${dots(id)}")
+    }
+    // dequantized ordering mirrors exact ordering: 1 > 3 > 2
+    assert(dots(1L) > dots(3L) && dots(3L) > dots(2L))
+  }
+
   test("quantizeInt8 bounds reconstruction error and handles zeros") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
