@@ -24,7 +24,8 @@ object Bench {
       // round-3 additions: temporal joins + curation passes
       "op_asof_join", "op_range_join", "llm_repetition",
       "llm_embed_quantize", "llm_sample_stratified", "llm_decontaminate",
-      "llm_chunking", "llm_bm25", "llm_pack_sequences")
+      "llm_chunking", "llm_bm25", "llm_pack_sequences",
+      "llm_embed_quantized_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
