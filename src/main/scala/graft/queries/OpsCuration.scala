@@ -343,11 +343,10 @@ object OpsCuration extends Suite {
       .select(col("quantized").as("qq"), col("scale").as("qs"))
     quantized.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryQ))
-      .withColumn("qdot",
-        aggregate(
-          zip_with(col("quantized"), col("qq"),
-            (x, y) => (x * y).cast("long")),
-          lit(0L), (a, x) => a + x))
+      // native codegen'd integer dot kernel (VectorDotIntSpec proves
+      // bit-parity with the composed zip_with/aggregate form)
+      .withColumn("qdot", graft.expressions.VectorDotInt.vecDotInt(
+        s, col("quantized"), col("qq")))
       .select(col("vec_id"), col("qdot"),
         (col("qdot") / (col("scale") * col("qs"))).as("approx_dot"))
       .orderBy(col("approx_dot").desc, col("vec_id"))
