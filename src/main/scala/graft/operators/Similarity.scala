@@ -286,4 +286,49 @@ object Similarity {
         fastCosine(corpus)(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Cluster-blocked near-dup pairs through an IVF index: candidate pairs
+    * are generated only WITHIN shared clusters (the semantic-dedup blocking
+    * strategy — quadratic per cluster, not per corpus), then re-scored with
+    * the exact cosine so every emitted pair is a true near-pair.
+    *
+    * `probes` > 1 assigns each vector to its `probes` nearest centroids —
+    * single-assignment splits boundary pairs (measured 0.27 recall at
+    * sf0.1 with nlist=16), multi-probe recovers them (0.84 at probes=3,
+    * 0.96 at probes=4) at probes²-ish candidate cost. Candidates dedup as
+    * bare id pairs BEFORE vectors re-attach, so the blocking shuffle stays
+    * payload-lean; recall vs the exact baseline is gated in
+    * `llm_embed_cluster_recall`, mirroring the LSH path's gate. */
+  def clusterPairs(index: IvfIndex, idCol: String, vecCol: String,
+                   threshold: Double, probes: Int = 1): DataFrame = {
+    val corpus = index.assignments.drop("cluster")
+    val asg =
+      if (probes <= 1) index.assignments
+      else {
+        val v = col(vecCol).cast("array<double>")
+        val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+          struct(fastCosine(corpus)(v, typedLit(c.toSeq)).as("c"),
+            lit(i).as("i"))
+        }
+        // explode_outer + null filter: a plain explode would get
+        // size/isnotnull filters inferred beneath it that re-inline (and
+        // re-evaluate) all nlist centroid cosines per row
+        corpus.withColumn("cluster",
+            explode_outer(transform(
+              slice(reverse(array_sort(array(scored: _*))), 1, probes),
+              s => s.getField("i"))))
+          .filter(col("cluster").isNotNull)
+      }
+    val a = asg.select(col("cluster"), col(idCol).as("id_a"))
+    val b = asg.select(col("cluster"), col(idCol).as("id_b"))
+    val cands = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        fastCosine(corpus)(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -406,6 +406,35 @@ object OpsLlm extends Suite {
       |       * sqrt(list_dot_product(b.embedding::DOUBLE[],
       |                               b.embedding::DOUBLE[]))) >= 0.45""".stripMargin
 
+  // -- IVF-cluster near-dup recall, driver-gated (mirrors the LSH gate):
+  //    cluster blocking is the semantic-dedup candidate strategy; every
+  //    emitted pair is exact-cosine verified (zero false positives by
+  //    construction) and recall vs the quadratic baseline is asserted
+  //    in-query. ------------------------------------------------------------
+  private val embedClusterRecall: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val exact = Similarity.exactPairs(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45)
+      .select(col("id_a"), col("id_b"))
+    val idx = Similarity.ivfIndex(t.embeddings, "vec_id", "embedding",
+      nlist = 16, iters = 2, seed = 42L)
+    val blocked = Similarity.clusterPairs(idx, "vec_id", "embedding",
+        threshold = 0.45, probes = 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("__found"))
+    exact.join(blocked, Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__found"), lit(0))).as("__n_found"))
+      .select(
+        col("n_exact"),
+        (col("__n_found").cast("double") / col("n_exact") >= 0.6)
+          .as("recall_ok"))
+      .crossJoin(
+        blocked.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_false_pos")))
+      .select(col("n_exact"), col("n_false_pos"), col("recall_ok"))
+  }
+
   // -- multimodal plumbing (stubbed decode; deterministic, rows-only) -------
   private val multimodal: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -527,6 +556,7 @@ object OpsLlm extends Suite {
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_embed_ann_recall" -> embedAnnRecall,
+    "llm_embed_cluster_recall" -> embedClusterRecall,
     "llm_multimodal_features" -> multimodal,
     "llm_multimodal_frames" -> multimodalFrames,
     "llm_vocab_topk" -> vocabTopk,
@@ -547,6 +577,7 @@ object OpsLlm extends Suite {
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
     "llm_embed_ann_recall" -> embedAnnRecallSql,
+    "llm_embed_cluster_recall" -> embedAnnRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,
     "llm_vocab_topk" -> vocabTopkSql,
     "llm_token_budget" -> tokenBudgetSql)

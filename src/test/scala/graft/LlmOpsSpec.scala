@@ -304,4 +304,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(good >= 3.0)
     assert(junk <= 1.0)
   }
+
+  test("clusterPairs: no false positives; multi-probe recall dominates") {
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    // planted near-dup pairs: each base vector plus a tiny perturbation
+    val bases = (0L until 40L).map(i => (i, vec()))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity.exactPairs(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10) // the planted pairs are in the exact set
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 6, iters = 2, seed = 9L)
+    def found(probes: Int): Set[(Long, Long)] =
+      Similarity.clusterPairs(idx, "vec_id", "embedding", 0.9, probes)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = found(1)
+    val multi = found(3)
+    assert(single.subsetOf(exact)) // exact re-score: no false positives
+    assert(multi.subsetOf(exact))
+    assert(single.subsetOf(multi)) // more probes never lose candidates
+    // near-identical planted dups co-cluster: multi-probe finds them all
+    assert(multi == exact)
+  }
 }
