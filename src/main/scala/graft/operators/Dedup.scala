@@ -75,6 +75,17 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Exact dedup keeping the BEST row per key group instead of the
+    * min-id row: survivor = argmax of `better` (ties broken by ascending
+    * `idCol`, so the choice is total and deterministic). Curation pipelines
+    * keep the longest / highest-quality duplicate, not the earliest.
+    * Runs through the GroupedTopK bounded-heap operator with k=1 — no
+    * per-group sort, shuffle bounded at one row per mapper per group. */
+  def exactKeepBest(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    better: Column): DataFrame =
+    graft.plans.GroupedTopK(df, keyCols,
+      Seq(better.desc, col(idCol).asc), 1)
+
   /** Exact dedup modulo case/punctuation/whitespace via md5 fingerprint. */
   def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exact(df.withColumn("fp", TextAnalysis.fingerprint(col(textCol))),

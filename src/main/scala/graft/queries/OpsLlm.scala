@@ -209,6 +209,24 @@ object OpsLlm extends Suite {
     """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
+  // -- keep-best dedup: one canonical (longest) doc per (lang, source)
+  //    stratum via Dedup.exactKeepBest — the GroupedTopK k=1 path, so no
+  //    stratum is ever sorted; ties break to the smallest doc_id. ----------
+  private val dedupKeepBest: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.exactKeepBest(t.documents, Seq("lang", "source"), "doc_id",
+        col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+  private val dedupKeepBestSql =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   // -- n-gram Jaccard near-dup pairs (exact computation) --------------------
   private val dedupNgram: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -547,6 +565,7 @@ object OpsLlm extends Suite {
     "llm_fingerprint_groups" -> fingerprintGroups,
     "llm_pipeline_curate" -> pipelineCurate,
     "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
@@ -569,6 +588,7 @@ object OpsLlm extends Suite {
     "llm_fingerprint_groups" -> fingerprintGroupsSql,
     "llm_pipeline_curate" -> pipelineCurateSql,
     "llm_dedup_exact" -> dedupExactSql,
+    "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),

@@ -62,6 +62,30 @@ class TemporalPropsSpec extends SparkSpec {
       } yield (s, s + len))
     } yield (pts, ivs)
 
+  test("chunkDocuments covers every token at the declared stride") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      ck <- Gen.chooseNum(4, 20)
+      ov <- Gen.chooseNum(0, 3)
+    } yield (n, ck, ov)
+    cases(gen, n = 10).foreach { case (n, ck, ov) =>
+      val doc = (1 to n).map(i => s"t$i").mkString(" ")
+      val rows = graft.operators.Curation.chunkDocuments(
+          Seq((1L, doc)).toDF("id", "text"), "id", col("text"), ck, ov)
+        .orderBy("chunk_ix").collect()
+      val stride = ck - ov
+      val covered = rows.flatMap { r =>
+        val toks = r.getString(3).split(" ")
+        // chunk i starts at token index i*stride (0-based)
+        val start = r.getLong(1).toInt * stride
+        assert(toks.length == r.getLong(2), s"n=$n ck=$ck ov=$ov")
+        assert(toks.headOption.contains(s"t${start + 1}"))
+        start until (start + toks.length)
+      }.toSet
+      assert(covered == (0 until n).toSet, s"n=$n ck=$ck ov=$ov")
+    }
+  }
+
   test("rangeJoinBinned matches an in-memory reference on random data") {
     cases(genRange).foreach { case (pts, ivs) =>
       val points = pts.zipWithIndex
