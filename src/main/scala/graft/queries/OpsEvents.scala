@@ -142,13 +142,40 @@ object OpsEvents extends Suite {
       |FROM events e JOIN fs ON e.user_id = fs.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- semi-structured props: JSON metadata column → typed extraction →
+  //    aggregate. get_json_object is codegen'd path extraction (no UDF,
+  //    no full from_json materialization when one key is needed); the
+  //    oracle uses DuckDB's independent JSON parser. ----------------------
+  private val jsonProps: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("k_sum"),
+           min(col("k")).as("k_min"),
+           max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+  private val jsonPropsSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS k_sum,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "events_json_props" -> jsonProps,
     "events_sessionize" -> sessionize,
     "events_funnel" -> funnel,
     "events_tumbling" -> tumbling,
     "events_cohort" -> cohort)
 
   def oracle: Map[String, String] = Map(
+    "events_json_props" -> jsonPropsSql,
     "events_sessionize" -> sessionizeSql,
     "events_funnel" -> funnelSql,
     "events_tumbling" -> tumblingSql,
