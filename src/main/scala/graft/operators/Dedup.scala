@@ -91,6 +91,101 @@ object Dedup {
     exact(df.withColumn("fp", TextAnalysis.fingerprint(col(textCol))),
           Seq("fp"), idCol).drop("fp")
 
+  // --- winnowing fingerprints (Schleimer et al., SIGMOD'03) ---------------
+
+  /** Winnowing fingerprint set per document: hash every word-`k`-gram, then
+    * keep the minimum hash of each sliding window of `w` consecutive grams
+    * (distinct per document). Guarantees of the published algorithm: any
+    * shared run of at least `w + k - 1` tokens between two documents yields
+    * at least one shared fingerprint, while only ~2/(w+1) of gram hashes
+    * are retained — position-robust partial-overlap detection at a fraction
+    * of full-shingle cost.
+    *
+    * Gram hashes are the first 16 hex chars of md5 over the
+    * space-joined gram (cross-engine-reproducible, so the DuckDB oracle can
+    * recompute the identical set; lexicographic min on lowercase hex ==
+    * numeric min on the 64-bit value). Window selection is partitioned by
+    * document — bounded by document length, no global sort. Documents with
+    * fewer than `w` grams contribute their single global-min fingerprint;
+    * documents shorter than `k` tokens contribute none. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      expr(s"split(lower(trim($textCol)), '\\\\s+')").as("tk"))
+    val gramArr =
+      s"""CASE WHEN size(tk) >= $k
+         |  THEN transform(sequence(1, size(tk) - ${k - 1}),
+         |       i -> substring(md5(concat_ws(' ', slice(tk, i, $k))), 1, 16))
+         |  ELSE CAST(array() AS array<string>) END""".stripMargin
+    // posexplode_outer + null filter: a plain explode re-inlines the whole
+    // gram expression into inferred generator filters (see shingles)
+    val grams = toks
+      .select(col(idCol), posexplode_outer(expr(gramArr)).as(Seq("p0", "gh")))
+      .filter(col("gh").isNotNull)
+      .select(col(idCol), (col("p0") + 1).as("i"), col("gh"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    grams
+      .withColumn("fp",
+        min(col("gh")).over(byPos.rowsBetween(Window.currentRow, w - 1)))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("i") <= greatest(col("ng") - (w - 1), lit(1)))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  // --- span-level duplicate detection (Lee et al., ACL'22 family) ---------
+
+  /** Duplicated token SPANS — the practical large-scale variant of exact
+    * substring deduplication: hash every word-`L`-gram, keep grams whose
+    * full text occurs at least `minOccurrences` times in the corpus
+    * (across or within documents), then merge each document's overlapping
+    * or adjacent duplicated gram intervals into maximal spans.
+    * Returns (id, span_start, span_end, n_dup_grams) with 1-based inclusive
+    * token indices — the regions a curation pipeline would cut, without
+    * removing whole documents.
+    *
+    * Fixed-length gram matching approximates the suffix-array computation:
+    * every duplicated substring of ≥ `L` tokens is found exactly (it
+    * contains a duplicated L-gram at every offset); shorter repeats are
+    * ignored by design. All stages are hash-shuffles and per-document
+    * windows (interval merge is the classic gaps-and-islands form) — no
+    * global sort, no driver state. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     L: Int = 20, minOccurrences: Int = 2): DataFrame = {
+    require(L >= 1 && minOccurrences >= 2, s"L=$L, minOccurrences=$minOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      expr(s"split(lower(trim($textCol)), '\\\\s+')").as("tk"))
+    val gramArr =
+      s"""CASE WHEN size(tk) >= $L
+         |  THEN transform(sequence(1, size(tk) - ${L - 1}),
+         |       i -> md5(concat_ws(' ', slice(tk, i, $L))))
+         |  ELSE CAST(array() AS array<string>) END""".stripMargin
+    val grams = toks
+      .select(col(idCol), posexplode_outer(expr(gramArr)).as(Seq("p0", "gh")))
+      .filter(col("gh").isNotNull)
+      .select(col(idCol), (col("p0") + 1).as("i"), col("gh"))
+    val dupKeys = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("gh"))
+    val dupPos = grams.join(dupKeys, Seq("gh"), "left_semi")
+      .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val prevMaxEnd = max(col("e"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("isl",
+        when(prevMaxEnd.isNull || col("i") > prevMaxEnd + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("isl")).over(byPos))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("i")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("grp")
+  }
+
   // --- shingling ---------------------------------------------------------
 
   /** Distinct word-n-gram shingles, one row per (id, shingleHash). Tokens
@@ -216,6 +311,73 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
+  }
+
+  // --- prefix-filtered exact Jaccard (AllPairs/PPJoin family) -------------
+
+  /** All id pairs (a < b) with word-n-gram Jaccard ≥ threshold — EXACT, via
+    * prefix filtering (Bayardo et al. "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al. PPJoin) instead of the lossy-in-principle
+    * doc-frequency cap of [[ngramJaccardPairs]].
+    *
+    * Theorem (lossless): order each document's shingle set by a global
+    * total order (here: ascending doc-frequency, rarest first, ties by
+    * shingle hash) and keep only the first `|A| - ⌈t·|A|⌉ + 1` shingles as
+    * the *prefix*. If Jaccard(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so the
+    * globally-smallest common shingle must sit inside BOTH prefixes —
+    * joining on prefix shingles alone misses no qualifying pair. Candidates
+    * additionally pass the size filter t·max(|A|,|B|) ≤ min(|A|,|B|), then
+    * are verified with exact intersection counts (candidates-first join, no
+    * posting-list blowup).
+    *
+    * Scale design: rare-first ordering puts low-doc-frequency shingles in
+    * the prefixes, so the candidate join's key distribution is the corpus's
+    * rare tail — hot stop-phrase shingles land in suffixes and never
+    * generate candidates, achieving what the doc-freq cap does WITHOUT
+    * dropping information. Per-doc prefix ranking is a window partitioned
+    * by document id (bounded by document length — no global sort). The
+    * ⌈t·|A|⌉ is computed as `ceil(t·|A| − 1e-9)`: a float error can only
+    * LENGTHEN a prefix (more candidates), never lose a pair. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = persistScoped(s"prefix:$idCol:$textCol:$n",
+      shingles(df, idCol, textCol, n))
+    val sizes = shingleSizes(sh, idCol)
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("sh_df"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("sh_df"), col("sh"))
+    val prefixLen =
+      col("sh_n") - ceil(lit(threshold) * col("sh_n") - lit(1e-9)) + 1
+    val prefixes = sh.join(docFreq, "sh")
+      .withColumn("sh_pos", row_number().over(byRarity))
+      .join(sizes, idCol)
+      .filter(col("sh_pos") <= prefixLen)
+      .select(col(idCol), col("sh"), col("sh_n"))
+    val cands = prefixes.select(
+        col(idCol).as("id_a"), col("sh"), col("sh_n").as("n_a"))
+      .join(prefixes.select(
+        col(idCol).as("id_b"), col("sh"), col("sh_n").as("n_b")), "sh")
+      .filter(col("id_a") < col("id_b") &&
+        lit(threshold) * greatest(col("n_a"), col("n_b")) <=
+          least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val common = cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sh_n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // --- MinHash + LSH ------------------------------------------------------

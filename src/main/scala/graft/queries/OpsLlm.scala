@@ -252,6 +252,81 @@ object OpsLlm extends Suite {
       |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -- prefix-filtered EXACT Jaccard pairs (AllPairs family): same oracle
+  //    as llm_dedup_ngram because prefix filtering is lossless — the gate
+  //    proves the pruned computation returns the identical pair set. ------
+  private val dedupPrefix: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.prefixJaccardPairs(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -- winnowing fingerprints (Schleimer et al.): md5-hex gram hashes make
+  //    the window-min selection reproducible in DuckDB — full hash-exact
+  //    oracle for a classically "engine-internal" fingerprint op. ---------
+  private val winnow: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.winnowFingerprints(t.documents, "doc_id", "text", k = 4, w = 5)
+      .orderBy(col("doc_id"), col("fp"))
+  }
+  private val winnowSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, i,
+      |        substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')),
+      |               1, 16) AS gh
+      |      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+      |      WHERE len(tk) >= 4),
+      |wm AS (SELECT doc_id, i,
+      |        min(gh) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+      |        count(*) OVER (PARTITION BY doc_id) AS ng
+      |       FROM g)
+      |SELECT DISTINCT doc_id, fp FROM wm
+      |WHERE i <= greatest(ng - 4, 1)
+      |ORDER BY doc_id, fp""".stripMargin
+
+  // -- span-level duplicate detection (Lee et al. family): duplicated
+  //    8-gram positions merged into maximal per-doc spans; oracle is the
+  //    same gaps-and-islands computation in DuckDB. ----------------------
+  private val dedupSpans: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.duplicateSpans(t.documents, "doc_id", "text",
+        L = 8, minOccurrences = 2)
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("n_dup_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+  private val dedupSpansSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, i,
+      |        md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gh
+      |      FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+      |      WHERE len(tk) >= 8),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |p AS (SELECT doc_id, i, i + 7 AS e FROM g
+      |      WHERE gh IN (SELECT gh FROM dup)),
+      |m AS (SELECT doc_id, i, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM p),
+      |f AS (SELECT doc_id, i, e,
+      |        CASE WHEN pme IS NULL OR i > pme + 1 THEN 1 ELSE 0 END AS isl
+      |      FROM m),
+      |s AS (SELECT doc_id, i, e,
+      |        sum(isl) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |      FROM f)
+      |SELECT doc_id, min(i) AS span_start, max(e) AS span_end,
+      |       count(*) AS n_dup_grams
+      |FROM s GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // -- MinHash-LSH near-dup pairs. Candidates are re-scored with exact
   //    Jaccard, and at threshold 0.9 with k=64/bands=16 the per-pair miss
   //    probability is ~(1-0.9^4)^16 ≈ 4e-8 — deterministic hashes make the
@@ -567,6 +642,9 @@ object OpsLlm extends Suite {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
+    "llm_dedup_prefix" -> dedupPrefix,
+    "llm_winnow" -> winnow,
+    "llm_dedup_spans" -> dedupSpans,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
     "llm_dedup_simhash" -> dedupSimhash,
@@ -590,6 +668,9 @@ object OpsLlm extends Suite {
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,
+    "llm_dedup_prefix" -> dedupNgramSql,
+    "llm_winnow" -> winnowSql,
+    "llm_dedup_spans" -> dedupSpansSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_dedup_survivors" -> dedupSurvivorsSql,

@@ -65,6 +65,80 @@ class LlmOpsSpec extends SparkSpec {
     assert(default == uncapped)
   }
 
+  test("prefix-filtered jaccard equals the exact uncapped computation") {
+    // lossless-pruning contract: identical (pair, jaccard) set as the
+    // exact posting-list computation, at several thresholds
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t, maxDocFreq = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      assert(pref == exact, s"threshold $t")
+    }
+  }
+
+  test("prefix-filtered jaccard at threshold 1.0 keeps exact duplicates") {
+    val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 1.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("winnowing: shared runs of w+k-1 tokens share a fingerprint") {
+    val k = 4; val w = 5
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val wdocs = Seq(
+      (10L, s"one two three $run four five six seven"),
+      (11L, s"completely different prefix words here $run and a new tail"),
+      (12L, "nothing in common with the others at all in this document " +
+            "about gardening tools and winter weather patterns"),
+      (13L, "tiny doc")                       // < k tokens -> no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(wdocs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    // guarantee: the 9-token (= w+k-1) shared run forces a common fingerprint
+    assert((byDoc(10L) & byDoc(11L)).nonEmpty)
+    assert((byDoc(10L) & byDoc(12L)).isEmpty)
+    assert(!byDoc.contains(13L))
+    // density: winnowing retains far fewer fingerprints than grams
+    val nGrams10 = wdocs.filter($"doc_id" === 10L)
+      .select(size(split(lower(trim($"text")), "\\s+"))).head().getInt(0) - k + 1
+    assert(byDoc(10L).size < nGrams10)
+  }
+
+  test("duplicate spans: cross-doc repeats merge into maximal spans") {
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ") // 12-token dup run
+    val sdocs = Seq(
+      (20L, s"aa bb cc $run dd ee ff"),
+      (21L, s"xx yy $run zz ww"),
+      (22L, "no duplicated content here beyond doubt in any of these words")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(sdocs, "doc_id", "text",
+        L = 8, minOccurrences = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 20: run occupies tokens 4..15 -> one merged span exactly
+    assert(spans.contains((20L, 4, 15)))
+    // doc 21: run occupies tokens 3..14
+    assert(spans.contains((21L, 3, 14)))
+    assert(!spans.exists(_._1 == 22L))
+  }
+
+  test("duplicate spans: within-doc repetition is caught and merged") {
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((30L, s"$run filler $run"))  // 10 + 1 + 10 tokens
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text",
+        L = 10, minOccurrences = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((30L, 1, 10), (30L, 12, 21)))
+  }
+
   test("shingle cap truncation is visible: stats diagnostic + observe") {
     // the always-available diagnostic for sizing a cap
     val stats = Dedup.shingleCapStats(docs, "doc_id", "text", n = 3, cap = 1)
