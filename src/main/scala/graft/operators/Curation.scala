@@ -272,4 +272,74 @@ object Curation {
         array_max(zip_with(col("__dv"), col("quantized"),
           (x, q) => abs(q.cast("double") / col("scale") - x))))
       .drop("__dv", "__mx")
+
+  // ---- domain-mixture balancing ------------------------------------------
+
+  /** Rebalance a corpus to target group proportions ("data mixing"): given
+    * target shares per group (summing to ~1), keep the LARGEST total T such
+    * that every group g can supply its share — T = min_g(n_g / p_g) — and
+    * select exactly k_g = floor(p_g · T) rows per group, deterministically
+    * (smallest md5 buckets first, ties by id). The result has the target
+    * mixture to within one row per group, maximizing retained data; no
+    * group is oversampled (subsampling only, no repetition).
+    *
+    * Scale notes: quotas derive from one count-only aggregate crossed with
+    * a one-row capacity aggregate (broadcast both); selection ranks within
+    * each group — a per-group window sort, the exact-quota cost. When
+    * approximate shares suffice at extreme scale, [[stratifiedSample]]
+    * with rates p_g·T/n_g is the sort-free alternative. Groups absent from
+    * `targets` are dropped. */
+  def balanceMix(df: DataFrame, groupCol: String, id: Column,
+                 targets: Map[String, Double], salt: String): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val share = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, p)) => when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    val inScope = df.filter(col(groupCol).isin(targets.keys.toSeq: _*))
+    val counts = inScope.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("p_g", share)
+    val capacity = counts
+      .agg(min(col("n_g").cast("double") / col("p_g")).as("t_total"))
+    val quota = counts.crossJoin(broadcast(capacity))
+      .withColumn("k_g", floor(col("p_g") * col("t_total")).cast("long"))
+      .select(col(groupCol), col("k_g"))
+    val byBucket = Window.partitionBy(col(groupCol))
+      .orderBy(sampleBucket(id, salt), id)
+    inScope.withColumn("__rn", row_number().over(byBucket))
+      .join(broadcast(quota), groupCol)
+      .filter(col("__rn") <= col("k_g"))
+      .drop("__rn", "k_g")
+  }
+
+  // ---- epoch shuffle (deterministic global permutation) ------------------
+
+  /** Deterministic global shuffle order for training dataloaders: every row
+    * gets `shuffle_pos` — its 1-based rank under the order
+    * (md5(seed || ':' || id), id) — a reproducible pseudo-random
+    * permutation keyed by `seed` (one seed per epoch).
+    *
+    * The rank is computed WITHOUT a single-partition global window: the
+    * first two hex chars of the key split rows into 256 buckets whose
+    * ranges follow the key order (hex prefix = most-significant bits), so
+    * rank = (cumulative count of preceding buckets) + (row_number within
+    * the bucket). The only unpartitioned window runs over the 256-row
+    * bucket-count aggregate — fixed size at any data scale; within-bucket
+    * ranking partitions on ~N/256 uniformly-hashed rows. */
+  def epochShuffle(df: DataFrame, id: Column, seed: String): DataFrame = {
+    val keyed = df
+      .withColumn("__k", md5(concat(lit(seed), lit(":"), id.cast("string"))))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offsets = keyed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col("__k"), id)
+    keyed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("shuffle_pos", col("__off") + row_number().over(inBucket))
+      .drop("__b", "__k", "__off")
+  }
 }

@@ -55,6 +55,54 @@ object OpsCuration extends Suite {
       |  FROM documents) WHERE rn <= 20
       |ORDER BY doc_id""".stripMargin
 
+  // -- domain-mixture balancing: largest total satisfying target language
+  //    shares (T = min n_g/p_g), exactly floor(p_g·T) docs per language,
+  //    smallest-md5-bucket selection. Oracle recomputes the identical
+  //    quota arithmetic (IEEE doubles both sides) and ranking. -----------
+  private val mixTargets = Seq(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.15, "zh" -> 0.05)
+  private val balanceMix: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.balanceMix(t.documents.select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), mixTargets.toMap, salt)
+      .orderBy(col("doc_id"))
+  }
+  private val balanceMixSql = {
+    val caseShare = mixTargets
+      .map { case (g, p) => s"WHEN '$g' THEN CAST($p AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH c AS (SELECT lang, count(*) AS n_g,
+      |             CASE lang $caseShare END AS p_g
+      |           FROM documents GROUP BY lang),
+      |cap AS (SELECT min(CAST(n_g AS DOUBLE) / p_g) AS t FROM c),
+      |q AS (SELECT lang, CAST(floor(p_g * t) AS BIGINT) AS k_g FROM c, cap),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |        ORDER BY CAST(('0x' || substr(md5('$salt'
+      |          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+      |        AS rn
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+      |WHERE rn <= k_g
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- epoch shuffle: deterministic global permutation keyed by seed; the
+  //    rank is computed via 256 hash-prefix buckets + offsets (no global
+  //    window), the oracle via a plain global row_number — two different
+  //    rank algorithms agreeing exactly. --------------------------------
+  private val epochShuffle: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.epochShuffle(t.documents.select(col("doc_id")),
+        col("doc_id"), "epoch7")
+      .orderBy(col("doc_id"))
+  }
+  private val epochShuffleSql =
+    """SELECT doc_id, row_number() OVER (
+      |    ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |  AS shuffle_pos
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -- PII redaction: the corpus is synthetic word-soup with no real PII,
   //    so the query plants deterministic contact strings derived from the
   //    row's own columns, then redacts them — both sides build the same
@@ -378,6 +426,8 @@ object OpsCuration extends Suite {
   def defs: Map[String, Q] = Map(
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_fixed" -> sampleFixed,
+    "llm_balance_mix" -> balanceMix,
+    "llm_epoch_shuffle" -> epochShuffle,
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
@@ -392,6 +442,8 @@ object OpsCuration extends Suite {
   def oracle: Map[String, String] = Map(
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_sample_fixed" -> sampleFixedSql,
+    "llm_balance_mix" -> balanceMixSql,
+    "llm_epoch_shuffle" -> epochShuffleSql,
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,

@@ -33,6 +33,54 @@ class CurationSpec extends SparkSpec {
     assert(dropped == Seq("en"))
   }
 
+  test("balanceMix hits exact per-group quotas at the largest total") {
+    // 600 en, 300 de, 100 fr; targets 0.5/0.3/0.2 -> fr binds:
+    // T = 100/0.2 = 500 -> quotas 250/150/100
+    val df = (0L until 1000L).map { i =>
+      (i, if (i < 600) "en" else if (i < 900) "de" else "fr")
+    }.toDF("id", "lang")
+    val targets = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    val out = Curation.balanceMix(df, "lang", col("id"), targets, "m1:")
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 250L, "de" -> 150L, "fr" -> 100L))
+    // deterministic: same salt -> same rows
+    val again = Curation.balanceMix(df, "lang", col("id"), targets, "m1:")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // groups missing from targets are dropped
+    val extra = df.union(Seq((5000L, "zz")).toDF("id", "lang"))
+    val zz = Curation.balanceMix(extra, "lang", col("id"), targets, "m1:")
+      .filter($"lang" === "zz").count()
+    assert(zz == 0L)
+  }
+
+  test("epochShuffle assigns a seed-keyed permutation of 1..N") {
+    val df = (0L until 777L).map(i => Tuple1(i)).toDF("id")
+    val out = Curation.epochShuffle(df, col("id"), "e1")
+      .select("id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // positions are exactly 1..N (a permutation)
+    assert(out.map(_._2).sorted.toSeq == (1L to 777L))
+    // deterministic under the same seed
+    val again = Curation.epochShuffle(df, col("id"), "e1")
+      .select("id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toMap == out.toMap)
+    // a different seed produces a different permutation
+    val other = Curation.epochShuffle(df, col("id"), "e2")
+      .select("id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(other.toMap != out.toMap)
+    // matches the single-window reference rank
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("k",
+        md5(concat(lit("e1"), lit(":"), col("id").cast("string"))))
+      .withColumn("p", row_number().over(Window.orderBy(col("k"), col("id"))))
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+    assert(ref.toMap == out.toMap)
+  }
+
   test("redactPii masks emails, IPs, and phones; counts match") {
     val df = Seq(
       "write bob.smith+x@corp-mail.io from 192.168.0.1 or +44-201-7777",
