@@ -25,7 +25,12 @@ object Bench {
       "op_asof_join", "op_range_join", "llm_repetition",
       "llm_embed_quantize", "llm_sample_stratified", "llm_decontaminate",
       "llm_chunking", "llm_bm25", "llm_pack_sequences",
-      "llm_embed_quantized_topk")
+      "llm_embed_quantized_topk",
+      // round-3 additions: lossless prefix-filtered jaccard vs the capped
+      // ngram path (same answer, different pruning), winnowing, span-level
+      // dedup, mixture balancing, epoch shuffle, semantic dedup
+      "llm_dedup_prefix", "llm_winnow", "llm_dedup_spans",
+      "llm_balance_mix", "llm_epoch_shuffle", "llm_semantic_dedup_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

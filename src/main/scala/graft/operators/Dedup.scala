@@ -337,7 +337,13 @@ object Dedup {
     * dropping information. Per-doc prefix ranking is a window partitioned
     * by document id (bounded by document length — no global sort). The
     * ⌈t·|A|⌉ is computed as `ceil(t·|A| − 1e-9)`: a float error can only
-    * LENGTHEN a prefix (more candidates), never lose a pair. */
+    * LENGTHEN a prefix (more candidates), never lose a pair.
+    *
+    * Regime guidance: prefix length is ≈ (1−t)·|A|+1, so pruning power
+    * collapses as the threshold drops (at t=0.5 half of every document is
+    * prefix). Use this operator at high thresholds (t ≳ 0.7), where it is
+    * both exact AND cheap; below that prefer [[ngramJaccardPairs]] with a
+    * doc-frequency cap or [[minhashDedupPairs]]. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,
@@ -351,11 +357,18 @@ object Dedup {
       .orderBy(col("sh_df"), col("sh"))
     val prefixLen =
       col("sh_n") - ceil(lit(threshold) * col("sh_n") - lit(1e-9)) + 1
-    val prefixes = sh.join(docFreq, "sh")
-      .withColumn("sh_pos", row_number().over(byRarity))
-      .join(sizes, idCol)
-      .filter(col("sh_pos") <= prefixLen)
-      .select(col(idCol), col("sh"), col("sh_n"))
+    // Prefix positions rank over the FULL ordered shingle set, but only
+    // df ≥ 2 shingles survive into the join sides: a df = 1 shingle occurs
+    // in one document and can never produce a candidate match, and rarity
+    // ordering puts exactly those first in every prefix — so the filter
+    // removes most of the join input while remaining lossless. Persisted:
+    // the candidate generation is a self-join over this very DataFrame.
+    val prefixes = persistScoped(s"prefix-set:$idCol:$textCol:$n:$threshold",
+      sh.join(docFreq, "sh")
+        .withColumn("sh_pos", row_number().over(byRarity))
+        .join(sizes, idCol)
+        .filter(col("sh_pos") <= prefixLen && col("sh_df") >= 2)
+        .select(col(idCol), col("sh"), col("sh_n")))
     val cands = prefixes.select(
         col(idCol).as("id_a"), col("sh"), col("sh_n").as("n_a"))
       .join(prefixes.select(
@@ -365,9 +378,16 @@ object Dedup {
           least(col("n_a"), col("n_b")))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Verification also only needs df ≥ 2 shingles: a shingle common to two
+    // documents has df ≥ 2 by definition, so intersection counts over the
+    // filtered set are identical (set sizes n_a/n_b still come from the
+    // full sets).
+    val shCommon = sh.join(docFreq.filter(col("sh_df") >= 2).select(col("sh")),
+      Seq("sh"), "left_semi")
     val common = cands
-      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .join(shCommon.select(col(idCol).as("id_a"), col("sh")), "id_a")
+      .join(shCommon.select(col(idCol).as("id_b"), col("sh")),
+        Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -489,9 +509,14 @@ object Dedup {
     * with a cheap count and failure to converge within `maxIter` raises
     * rather than returning wrong labels. */
   def clusterLabels(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — checkpointed ONCE: every
+    // iteration joins against it, and without truncation each round would
+    // re-evaluate the full upstream pair-generation plan (shingling/LSH/
+    // IVF + rescore — the dominant cost of the whole operator, paid
+    // maxIter times). The materialized blocks are two longs per edge.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     // localCheckpoint (eager) per iteration: an iterative dataflow that
     // feeds each result back into the next plan grows its LOGICAL plan
     // exponentially (labels appears ~4× per step here) — analysis itself
@@ -505,7 +530,9 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor-min: each node adopts min(own label, neighbors' labels)
+      // neighbor-min: each node adopts min(own label, neighbors' labels).
+      // Checkpointed: the pointer-jump below self-joins this frame, which
+      // would otherwise evaluate the two-join aggregate twice per round.
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
@@ -514,6 +541,7 @@ object Dedup {
         .join(labels, Seq("id"))
         .select(col("id"),
           least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint(true)
       // pointer jump: label := label's label (path halving)
       val next = nbrMin.as("a")
         .join(nbrMin.select(col("id").as("label"),

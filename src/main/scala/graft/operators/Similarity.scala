@@ -156,39 +156,68 @@ object Similarity {
     * code runs unchanged at 100 TB. Empty clusters keep their previous
     * centroid. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 64, iters: Int = 3, seed: Long = 42L): IvfIndex = {
+               nlist: Int = 64, iters: Int = 3, seed: Long = 42L,
+               maxTrainRows: Int = 25600): IvfIndex = {
     val v = col(vecCol).cast("array<double>")
-    var centroids: Array[Array[Double]] = corpus
+    // Train on a bounded deterministic sample (hash-ordered; the whole
+    // corpus when it is smaller), with Lloyd iterations run driver-locally
+    // — the standard IVF training recipe (coarse quantizers train on a
+    // fixed-size sample regardless of corpus size). At most
+    // maxTrainRows × dim doubles of bounded driver memory; the per-
+    // iteration DISTRIBUTED jobs of a naive k-means — each one a fresh
+    // whole-stage-codegen compile because the centroid literals change
+    // every round — are gone entirely. Assignment of the full corpus stays
+    // a distributed one-pass expression.
+    val train: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-      .limit(nlist)
+      .limit(maxTrainRows)
       .select(v)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(centroids.nonEmpty,
+    require(train.nonEmpty,
       "ivfIndex: corpus is empty — no centroids can be seeded")
-    def assigned: DataFrame = {
-      // argmax over (cosine, index) structs: one array construction per row,
-      // struct ordering picks the max cosine (ties break to the higher index
-      // deterministically)
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(fastCosine(corpus)(v, typedLit(c.toSeq)).as("c"),
-          lit(i).as("i"))
-      }
-      corpus.withColumn("cluster",
-        array_max(array(scored: _*)).getField("i"))
+    var centroids: Array[Array[Double]] = train.take(nlist).map(_.clone())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
     }
     for (_ <- 1 to iters) {
-      val sums = assigned
-        .select(col("cluster"), posexplode(v).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      // argmax assignment (ties to the higher index, mirroring the
+      // distributed struct-max tie-break), then plain mean update;
+      // clusters left empty keep their previous centroid
+      val dim = train.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      train.foreach { x =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var i = 0
+        while (i < centroids.length) {
+          val c = cos(x, centroids(i))
+          if (c >= bestC) { bestC = c; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
       }
-      centroids = next
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old
+        else sums(i).map(_ / counts(i))
+      }
     }
+    // distributed one-pass assignment: argmax over (cosine, index) structs;
+    // struct ordering picks the max cosine (ties break to the higher index
+    // deterministically)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(fastCosine(corpus)(v, typedLit(c.toSeq)).as("c"),
+        lit(i).as("i"))
+    }
+    val assigned = corpus.withColumn("cluster",
+      array_max(array(scored: _*)).getField("i"))
     IvfIndex(assigned, centroids)
   }
 
@@ -330,5 +359,27 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         fastCosine(corpus)(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup-style semantic deduplication: drop all but one member of
+    * every embedding-cosine near-dup cluster (pairs ≥ threshold →
+    * connected components → keep each component's min id). The end-to-end
+    * op a curation pipeline calls; pair generation composes with
+    * [[Dedup.clusterLabels]]'s pointer-jumping CC and anti-join drop.
+    *
+    * `nlist = 0` scores all pairs exactly (the validation/oracle mode,
+    * quadratic — small corpora only); `nlist > 0` blocks through an IVF
+    * index with `probes`-nearest multi-probe assignment — the 100 TB path:
+    * per-cluster quadratic only, recall characterized in LlmOpsSpec (0.84+
+    * at probes=3 on this corpus; every emitted pair is exact-rescored, so
+    * false positives are structurally impossible in either mode). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 0, probes: Int = 3,
+                    iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val pairs =
+      if (nlist <= 0) exactPairs(corpus, idCol, vecCol, threshold)
+      else clusterPairs(ivfIndex(corpus, idCol, vecCol, nlist, iters, seed),
+        idCol, vecCol, threshold, probes)
+    Dedup.survivors(corpus, pairs, idCol)
   }
 }

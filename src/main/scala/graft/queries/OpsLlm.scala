@@ -253,12 +253,14 @@ object OpsLlm extends Suite {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -- prefix-filtered EXACT Jaccard pairs (AllPairs family): same oracle
-  //    as llm_dedup_ngram because prefix filtering is lossless — the gate
-  //    proves the pruned computation returns the identical pair set. ------
+  //    SQL as llm_dedup_ngram (at threshold 0.8 — the high-threshold
+  //    regime the algorithm targets, where prefixes are short) because
+  //    prefix filtering is lossless — the gate proves the pruned
+  //    computation returns the identical pair set. -----------------------
   private val dedupPrefix: Q = (s, dir) => {
     val t = Tables(s, dir)
     Dedup.prefixJaccardPairs(t.documents, "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -432,6 +434,53 @@ object OpsLlm extends Suite {
       |       * sqrt(list_dot_product(b.embedding::DOUBLE[],
       |                               b.embedding::DOUBLE[]))) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
+
+  // -- semantic dedup (SemDeDup family): cosine pairs -> connected
+  //    components -> min-id survivors, gated in exact-pair mode; the
+  //    oracle reclusters the SQL-computed pair set with a RECURSIVE
+  //    transitive closure — an independent CC algorithm. The IVF-blocked
+  //    scale mode is recall-characterized in LlmOpsSpec. ------------------
+  private val semanticDedup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45, nlist = 0)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+  private val semanticDedupSql =
+    """WITH RECURSIVE
+      |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |       WHERE list_dot_product(a.embedding::DOUBLE[],
+      |                              b.embedding::DOUBLE[])
+      |           / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                                    a.embedding::DOUBLE[]))
+      |              * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                                      b.embedding::DOUBLE[])))
+      |         >= 0.45),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+      |          UNION SELECT id_b, id_a FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |minlab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |           FROM reach GROUP BY src)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM minlab WHERE id <> label)
+      |ORDER BY vec_id""".stripMargin
+
+  // -- semantic dedup, IVF-blocked scale mode (rows-only: cluster blocking
+  //    is approximate; recall + false-positive-free contracts are gated in
+  //    LlmOpsSpec against the exact mode). This is the variant the bench
+  //    measures — the exact mode is the quadratic validation baseline. ----
+  private val semanticDedupIvf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
+        threshold = 0.45, nlist = 32, probes = 3)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
 
   // -- IVF ANN top-k. At nprobe = nlist the probe set covers every cluster,
   //    so the result is exactly the brute-force ranking — which makes the
@@ -651,6 +700,8 @@ object OpsLlm extends Suite {
     "llm_embed_topk" -> embedTopk,
     "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_exact_pairs" -> embedExactPairs,
+    "llm_semantic_dedup" -> semanticDedup,
+    "llm_semantic_dedup_ivf" -> semanticDedupIvf,
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_embed_ann_recall" -> embedAnnRecall,
     "llm_embed_cluster_recall" -> embedClusterRecall,
@@ -668,7 +719,8 @@ object OpsLlm extends Suite {
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,
-    "llm_dedup_prefix" -> dedupNgramSql,
+    "llm_dedup_prefix" -> dedupNgramSql
+      .replace(">= 0.5", ">= 0.8"),
     "llm_winnow" -> winnowSql,
     "llm_dedup_spans" -> dedupSpansSql,
     "llm_dedup_minhash" -> dedupNgramSql
@@ -677,6 +729,7 @@ object OpsLlm extends Suite {
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
+    "llm_semantic_dedup" -> semanticDedupSql,
     "llm_embed_ann_recall" -> embedAnnRecallSql,
     "llm_embed_cluster_recall" -> embedAnnRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,

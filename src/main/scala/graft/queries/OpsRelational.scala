@@ -229,6 +229,44 @@ object OpsRelational extends Suite {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // -- pivot / unpivot: wide<->long reshaping. The DSL pivot with an
+  //    explicit value list stays a single partial-agg pass (no distinct-
+  //    values pre-query); the oracle is the portable FILTER-aggregation
+  //    form. unpivot's oracle is the equivalent UNION ALL. ----------------
+  private val pivotQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val pivotSql =
+    """SELECT l_returnflag,
+      |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+      |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val unpivotQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.part.unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_retailprice"), col("p_size").cast("double")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+      .orderBy(col("p_partkey"), col("measure"))
+  }
+  private val unpivotSql =
+    """SELECT p_partkey, measure, val FROM (
+      |  SELECT p_partkey, 'p_retailprice' AS measure,
+      |         p_retailprice AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_size' AS measure,
+      |         CAST(p_size AS DOUBLE) AS val FROM part)
+      |ORDER BY p_partkey, measure""".stripMargin
+
   private val aggGroupingSets: Q = (s, dir) => {
     Tables(s, dir).lineitem.createOrReplaceTempView("lineitem")
     s.sql(
@@ -474,6 +512,8 @@ object OpsRelational extends Suite {
     "op_count_star" -> countStar,
     "op_agg_approx_distinct" -> aggApprox,
     "op_agg_rollup" -> aggRollup,
+    "op_pivot" -> pivotQ,
+    "op_unpivot" -> unpivotQ,
     "op_agg_cube" -> aggCube,
     "op_agg_grouping_sets" -> aggGroupingSets,
     "op_window_ranking" -> windowRanking,
@@ -503,6 +543,8 @@ object OpsRelational extends Suite {
     "op_count_star" -> countStarSql,
     "op_agg_approx_distinct" -> aggApproxSql,
     "op_agg_rollup" -> aggRollupSql,
+    "op_pivot" -> pivotSql,
+    "op_unpivot" -> unpivotSql,
     "op_agg_cube" -> aggCubeSql,
     "op_agg_grouping_sets" -> aggGroupingSetsSql,
     "op_window_ranking" -> windowRankingSql,

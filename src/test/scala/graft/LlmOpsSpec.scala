@@ -407,4 +407,25 @@ class LlmOpsSpec extends SparkSpec {
     // near-identical planted dups co-cluster: multi-probe finds them all
     assert(multi == exact)
   }
+
+  test("semanticDedup: exact and IVF-blocked modes drop planted near-dups") {
+    val dim = 16
+    val rnd = new scala.util.Random(31)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = (0L until 40L).map(i => (i, vec()))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val exactKept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nlist = 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every planted dup (id >= 1000) loses to its base's smaller id
+    assert(exactKept == bases.map(_._1).toSet)
+    // IVF-blocked mode (the scale path) agrees on this corpus
+    val blockedKept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nlist = 6, probes = 3, seed = 9L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(blockedKept == exactKept)
+  }
 }
