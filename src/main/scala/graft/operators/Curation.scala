@@ -273,6 +273,39 @@ object Curation {
           (x, q) => abs(q.cast("double") / col("scale") - x))))
       .drop("__dv", "__mx")
 
+  // ---- corpus-adaptive LM scoring ----------------------------------------
+
+  /** Per-document average log-probability under an add-α smoothed unigram
+    * language model trained on the corpus itself — the classic
+    * perplexity-style quality/outlier signal (documents full of rare or
+    * corrupted tokens score low; typical prose scores high) without any
+    * external model artifact: p(w) = (c_w + α) / (N + α·V).
+    *
+    * Returns (id, avg_logprob, n_tok). Scale design: per-document term
+    * frequencies aggregate FIRST (map-side combine), so the join against
+    * the unigram table moves one row per distinct (doc, token) — not one
+    * per occurrence — and the hot-stopword join skew is capped by each
+    * document's distinct vocabulary; the model itself is two count
+    * aggregates. Only the 2-row total/vocab aggregate is broadcast. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val toks = df.select(col(idCol),
+        explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w").isNotNull)
+    val tf = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tf.join(cnt, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        log((col("c") + lit(alpha)) / (col("n") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg((sum(col("tf") * col("lp")) / sum(col("tf"))).as("avg_logprob"),
+        sum(col("tf")).as("n_tok"))
+  }
+
   // ---- domain-mixture balancing ------------------------------------------
 
   /** Rebalance a corpus to target group proportions ("data mixing"): given

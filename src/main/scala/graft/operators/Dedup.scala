@@ -135,6 +135,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup candidate pairs by shared winnowing fingerprints — the MOSS
+    * use of [[winnowFingerprints]]: docs sharing at least `minShared`
+    * selected fingerprints (each shared fingerprint witnesses a shared
+    * k-gram; winnowing guarantees coverage of shared runs ≥ w+k-1 tokens).
+    * `maxDocFreq` drops boilerplate fingerprints shared by more than that
+    * many docs before pairing (same quadratic-blowup control as
+    * [[ngramJaccardPairs]]; deterministic, so an oracle can replicate it). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5, minShared: Int = 2,
+                  maxDocFreq: Option[Int] = Some(500)): DataFrame = {
+    val fp = persistScoped(s"winnow:$idCol:$textCol:$k:$w",
+      winnowFingerprints(df, idCol, textCol, k, w))
+    val docFreq = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val keep = docFreq
+      .filter(col("df") >= 2 &&
+        maxDocFreq.map(cap => col("df") <= cap).getOrElse(lit(true)))
+      .select(col("fp"))
+    val kept = fp.join(keep, Seq("fp"), "left_semi")
+    kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // --- span-level duplicate detection (Lee et al., ACL'22 family) ---------
 
   /** Duplicated token SPANS — the practical large-scale variant of exact

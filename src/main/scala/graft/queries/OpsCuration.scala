@@ -103,6 +103,30 @@ object OpsCuration extends Suite {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // -- corpus-adaptive unigram LM scoring (perplexity-style quality
+  //    signal): avg log p(w) under add-1 smoothing. Transcendental (ln)
+  //    and double-summation-order divergence absorbed by round(6). -------
+  private val lmScore: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.unigramLogProb(t.documents, "doc_id", "text", alpha = 1.0)
+      .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
+        col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+  private val lmScoreSql =
+    """WITH tk AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+      |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+      |sc AS (SELECT t.doc_id,
+      |         ln((c + 1.0) / (n + 1.0 * v)) AS lp
+      |       FROM tk t JOIN cnt USING (w) CROSS JOIN tot)
+      |SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+      |       count(*) AS n_tok
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // -- PII redaction: the corpus is synthetic word-soup with no real PII,
   //    so the query plants deterministic contact strings derived from the
   //    row's own columns, then redacts them — both sides build the same
@@ -428,6 +452,7 @@ object OpsCuration extends Suite {
     "llm_sample_fixed" -> sampleFixed,
     "llm_balance_mix" -> balanceMix,
     "llm_epoch_shuffle" -> epochShuffle,
+    "llm_lm_score" -> lmScore,
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
@@ -444,6 +469,7 @@ object OpsCuration extends Suite {
     "llm_sample_fixed" -> sampleFixedSql,
     "llm_balance_mix" -> balanceMixSql,
     "llm_epoch_shuffle" -> epochShuffleSql,
+    "llm_lm_score" -> lmScoreSql,
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,

@@ -56,6 +56,34 @@ object OpsEvents extends Suite {
       |FROM x GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // -- transition matrix: per-user next-event pairs → counts + row-
+  //    normalized probabilities (the Markov-chain view of event flows) ----
+  private val transitions: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    t.events
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") * lit(1.0) / sum(col("n")).over(wf), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+  private val transitionsSql =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, to_type, count(*) AS n FROM s
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   // -- funnel: users who did view → click → purchase in order ---------------
   private val funnel: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -171,6 +199,7 @@ object OpsEvents extends Suite {
     "events_json_props" -> jsonProps,
     "events_sessionize" -> sessionize,
     "events_funnel" -> funnel,
+    "events_transitions" -> transitions,
     "events_tumbling" -> tumbling,
     "events_cohort" -> cohort)
 
@@ -178,6 +207,7 @@ object OpsEvents extends Suite {
     "events_json_props" -> jsonPropsSql,
     "events_sessionize" -> sessionizeSql,
     "events_funnel" -> funnelSql,
+    "events_transitions" -> transitionsSql,
     "events_tumbling" -> tumblingSql,
     "events_cohort" -> cohortSql)
 }

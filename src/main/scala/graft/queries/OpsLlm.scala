@@ -290,6 +290,38 @@ object OpsLlm extends Suite {
       |WHERE i <= greatest(ng - 4, 1)
       |ORDER BY doc_id, fp""".stripMargin
 
+  // -- winnowing near-dup pairs (the MOSS composition): docs sharing >= 2
+  //    selected fingerprints, boilerplate-capped; oracle replicates the
+  //    deterministic cap. ------------------------------------------------
+  private val winnowPairs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.winnowPairs(t.documents, "doc_id", "text",
+        k = 4, w = 5, minShared = 2, maxDocFreq = Some(500))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val winnowPairsSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, i,
+      |        substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')),
+      |               1, 16) AS gh
+      |      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+      |      WHERE len(tk) >= 4),
+      |wm AS (SELECT doc_id, i,
+      |        min(gh) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+      |        count(*) OVER (PARTITION BY doc_id) AS ng
+      |       FROM g),
+      |wfp AS (SELECT DISTINCT doc_id, fp FROM wm
+      |        WHERE i <= greatest(ng - 4, 1)),
+      |keepfp AS (SELECT fp FROM wfp GROUP BY fp
+      |           HAVING count(*) >= 2 AND count(*) <= 500)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |FROM wfp a JOIN keepfp USING (fp)
+      |     JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -- span-level duplicate detection (Lee et al. family): duplicated
   //    8-gram positions merged into maximal per-doc spans; oracle is the
   //    same gaps-and-islands computation in DuckDB. ----------------------
@@ -693,6 +725,7 @@ object OpsLlm extends Suite {
     "llm_dedup_ngram" -> dedupNgram,
     "llm_dedup_prefix" -> dedupPrefix,
     "llm_winnow" -> winnow,
+    "llm_winnow_pairs" -> winnowPairs,
     "llm_dedup_spans" -> dedupSpans,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
@@ -722,6 +755,7 @@ object OpsLlm extends Suite {
     "llm_dedup_prefix" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.8"),
     "llm_winnow" -> winnowSql,
+    "llm_winnow_pairs" -> winnowPairsSql,
     "llm_dedup_spans" -> dedupSpansSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),

@@ -81,6 +81,28 @@ class CurationSpec extends SparkSpec {
     assert(ref.toMap == out.toMap)
   }
 
+  test("unigramLogProb separates typical prose from rare-token noise") {
+    val common = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (1L, common),
+      (2L, common),
+      (3L, common),
+      (4L, "zzqj kvxw pblm qrtz wfjn xxyk")   // all-singleton tokens
+    ).toDF("doc_id", "text")
+    val out = Curation.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // typical docs (shared vocab) score identically (to summation-order
+    // ulps) and far above the rare-token doc
+    assert(math.abs(out(1L)._1 - out(2L)._1) < 1e-12)
+    assert(math.abs(out(2L)._1 - out(3L)._1) < 1e-12)
+    assert(out(1L)._1 > out(4L)._1 + 1.0)
+    assert(out(1L)._2 == 13L && out(4L)._2 == 6L)
+    // hand-check one value: doc 4 tokens each occur once in the corpus;
+    // N = 3*13 + 6 = 45, V = 8 + 6 = 14 -> p = (1+1)/(45+14), lp = ln(2/59)
+    val expected = math.log(2.0 / 59.0)
+    assert(math.abs(out(4L)._1 - expected) < 1e-9)
+  }
+
   test("redactPii masks emails, IPs, and phones; counts match") {
     val df = Seq(
       "write bob.smith+x@corp-mail.io from 192.168.0.1 or +44-201-7777",

@@ -112,6 +112,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(byDoc(10L).size < nGrams10)
   }
 
+  test("winnowPairs finds near-dup docs and caps boilerplate fingerprints") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))        // exact dups share all fps
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+    // cap=1 treats every shared fingerprint as boilerplate -> no pairs
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 3, minShared = 2, maxDocFreq = Some(1)).collect()
+    assert(capped.isEmpty)
+  }
+
   test("duplicate spans: cross-doc repeats merge into maximal spans") {
     val run = (1 to 12).map(i => s"tok$i").mkString(" ") // 12-token dup run
     val sdocs = Seq(
