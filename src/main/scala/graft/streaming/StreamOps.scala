@@ -119,4 +119,55 @@ object StreamOps {
           }
       }
   }
+
+  /** Input projection for transition extraction. */
+  case class TEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                 event_type: String)
+
+  /** Per-user frontier kept in the state store. */
+  case class LastEv(us: Long, eventId: Long, tpe: String)
+
+  /** Emitted transition (event-timed, so downstream windowed aggregation
+    * can consume it). */
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        ts: java.sql.Timestamp)
+
+  /** Streaming twin of the batch transition matrix (OpsEvents
+    * events_transitions): per-user (previous event → this event) pairs via
+    * one frontier record of state per user. Within a micro-batch events
+    * sort by (event time, event_id); an event arriving BEHIND the stored
+    * frontier (late beyond the last emitted transition) is dropped rather
+    * than spliced — transitions already emitted are immutable in append
+    * mode, so re-ordering history would double-count. In-order replay
+    * therefore reproduces the batch lead() pair set exactly. State is one
+    * fixed-size record per user (no growth with event volume). */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).as[TEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TEv], state: GroupState[LastEv]) =>
+          val evs = it.toIndexedSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var last = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          evs.foreach { e =>
+            val t = usOf(e.ts)
+            last match {
+              case Some(l) if t < l.us ||
+                  (t == l.us && e.event_id <= l.eventId) =>
+                () // behind the frontier: dropped (see scaladoc)
+              case Some(l) =>
+                out += Transition(user, l.tpe, e.event_type, e.ts)
+                last = Some(LastEv(t, e.event_id, e.event_type))
+              case None =>
+                last = Some(LastEv(t, e.event_id, e.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

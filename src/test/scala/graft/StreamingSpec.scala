@@ -199,4 +199,63 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming transitions carry the frontier across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = graft.streaming.StreamOps.transitions(
+      in.toDF.toDF("user_id", "ts", "event_id", "event_type"))
+    val qname = "stream_tr_" + System.nanoTime()
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      // batch 1: user 1 does view -> click; user 2 does view
+      in.addData((1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"),
+        (2L, ts(0), 3L, "view"))
+      q.processAllAvailable()
+      // batch 2: frontier continuation (click -> purchase), plus an event
+      // BEHIND user 1's frontier that must be dropped, and user 2's next
+      in.addData((1L, ts(5), 4L, "purchase"), (1L, ts(0), 5L, "stale"),
+        (2L, ts(9), 6L, "click"))
+      q.processAllAvailable()
+      val got = spark.table(qname)
+        .select("user_id", "from_type", "to_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(got == Set(
+        (1L, "view", "click"), (1L, "click", "purchase"),
+        (2L, "view", "click")))
+    } finally q.stop()
+  }
+
+  test("streaming transitions over the events table match batch lead()") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, sf)
+    val (stream, _) = stagedEventsStream()
+    val out = graft.streaming.StreamOps.transitions(stream)
+    val qname = "stream_tr2_" + System.nanoTime()
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(qname)
+        .groupBy("from_type", "to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val batch = t.events
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type"), col("to_type")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
