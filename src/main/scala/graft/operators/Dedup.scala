@@ -182,13 +182,21 @@ object Dedup {
                      L: Int = 20, minOccurrences: Int = 2): DataFrame = {
     require(L >= 1 && minOccurrences >= 2, s"L=$L, minOccurrences=$minOccurrences")
     import org.apache.spark.sql.expressions.Window
+    // Gram identity via the fixed-width token-hash chain (see shingles) —
+    // no per-position gram STRING is ever built. Hash values never appear
+    // in the output (only positions do), so gram equality is all that
+    // matters and an oracle hashing the gram text differently still agrees
+    // modulo 64-bit collisions.
     val toks = df.select(col(idCol),
-      expr(s"split(lower(trim($textCol)), '\\\\s+')").as("tk"))
+      expr(s"transform(split(lower(trim($textCol)), '\\\\s+')," +
+        " x -> xxhash64(x))").as("th"))
+    val hashArgs = (0 until L).map(j => s"element_at(th, i + $j)")
+      .mkString(", ")
     val gramArr =
-      s"""CASE WHEN size(tk) >= $L
-         |  THEN transform(sequence(1, size(tk) - ${L - 1}),
-         |       i -> md5(concat_ws(' ', slice(tk, i, $L))))
-         |  ELSE CAST(array() AS array<string>) END""".stripMargin
+      s"""CASE WHEN size(th) >= $L
+         |  THEN transform(sequence(1, size(th) - ${L - 1}),
+         |       i -> xxhash64($hashArgs))
+         |  ELSE CAST(array() AS array<bigint>) END""".stripMargin
     val grams = toks
       .select(col(idCol), posexplode_outer(expr(gramArr)).as(Seq("p0", "gh")))
       .filter(col("gh").isNotNull)
@@ -394,16 +402,33 @@ object Dedup {
         .withColumn("sh_pos", row_number().over(byRarity))
         .join(sizes, idCol)
         .filter(col("sh_pos") <= prefixLen && col("sh_df") >= 2)
-        .select(col(idCol), col("sh"), col("sh_n")))
-    val cands = prefixes.select(
-        col(idCol).as("id_a"), col("sh"), col("sh_n").as("n_a"))
-      .join(prefixes.select(
-        col(idCol).as("id_b"), col("sh"), col("sh_n").as("n_b")), "sh")
+        .select(col(idCol), col("sh"), col("sh_pos"), col("sh_n")))
+    // Candidate pairs with the PPJoin positional filter: the first shared
+    // prefix shingle w (minimum position — both docs sort their shingles
+    // by the same global order, so w has the min position on BOTH sides;
+    // any common shingle ranking before w would itself be a shared prefix
+    // shingle at a smaller position) is the globally smallest common
+    // shingle, hence every other common shingle sits strictly after it in
+    // both documents: |A∩B| ≤ 1 + min(|A|−i_w, |B|−j_w). Pairs whose bound
+    // falls below the overlap requirement α = ⌈t/(1+t)·(|A|+|B|)⌉ (from
+    // J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|)) are pruned before any
+    // verification join. The ⌈·⌉ again rounds conservatively DOWN (−1e-9):
+    // float error can only weaken the prune, never drop a true pair.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("n_a") + col("n_b")) - lit(1e-9))
+    val cands = prefixes.select(col(idCol).as("id_a"), col("sh"),
+        col("sh_pos").as("pos_a"), col("sh_n").as("n_a"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("sh"),
+        col("sh_pos").as("pos_b"), col("sh_n").as("n_b")), "sh")
       .filter(col("id_a") < col("id_b") &&
         lit(threshold) * greatest(col("n_a"), col("n_b")) <=
           least(col("n_a"), col("n_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("pos_a")).as("iw"), min(col("pos_b")).as("jw"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(lit(1) +
+        least(col("n_a") - col("iw"), col("n_b") - col("jw")) >= alpha)
       .select(col("id_a"), col("id_b"))
-      .distinct()
     // Verification also only needs df ≥ 2 shingles: a shingle common to two
     // documents has df ≥ 2 by definition, so intersection counts over the
     // filtered set are identical (set sizes n_a/n_b still come from the
