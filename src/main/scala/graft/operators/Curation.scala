@@ -273,6 +273,37 @@ object Curation {
           (x, q) => abs(q.cast("double") / col("scale") - x))))
       .drop("__dv", "__mx")
 
+  /** Deterministic multi-way dataset split (train/val/test…): each row gets
+    * the label of the half-open bucket range its md5 bucket falls into,
+    * with range widths proportional to `weights` (cumulative
+    * floor(Σw·2^32) cutoffs — integer thresholds, so any engine computing
+    * the same md5 assigns the same label). A pure map-side projection: no
+    * shuffle, no RNG, re-runnable on any layout; weights are normalized so
+    * every row is labeled. */
+  def datasetSplit(df: DataFrame, id: Column,
+                   weights: Seq[(String, Double)], salt: String,
+                   labelCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(c => math.floor(c * 4294967296.0).toLong)
+    val bucket = sampleBucket(id, salt)
+    val label = weights.zipWithIndex.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), i)) =>
+        when(bucket >= cuts(i) && bucket < cuts(i + 1), lit(name))
+          .otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
+
+  /** The integer cutoffs [[datasetSplit]] uses, for oracle SQL to embed. */
+  def splitCuts(weights: Seq[(String, Double)]): Seq[Long] = {
+    val total = weights.map(_._2).sum
+    weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
   // ---- corpus-adaptive LM scoring ----------------------------------------
 
   /** Per-document average log-probability under an add-α smoothed unigram

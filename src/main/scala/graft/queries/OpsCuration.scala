@@ -103,6 +103,31 @@ object OpsCuration extends Suite {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // -- deterministic train/val/test split: md5-bucket ranges with integer
+  //    cutoffs both engines embed literally. ----------------------------
+  private val splitWeights =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+  private val datasetSplit: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.datasetSplit(t.documents.select(col("doc_id")), col("doc_id"),
+        splitWeights, salt)
+      .orderBy(col("doc_id"))
+  }
+  private val datasetSplitSql = {
+    val cuts = Curation.splitCuts(splitWeights)
+    val cases = splitWeights.zipWithIndex
+      .map { case ((name, _), i) =>
+        s"WHEN b >= ${cuts(i)} AND b < ${cuts(i + 1)} THEN '$name'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+      |  CASE $cases ELSE '${splitWeights.last._1}' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)),
+      |                             1, 8)) AS BIGINT) AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // -- corpus-adaptive unigram LM scoring (perplexity-style quality
   //    signal): avg log p(w) under add-1 smoothing. Transcendental (ln)
   //    and double-summation-order divergence absorbed by round(6). -------
@@ -453,6 +478,7 @@ object OpsCuration extends Suite {
     "llm_balance_mix" -> balanceMix,
     "llm_epoch_shuffle" -> epochShuffle,
     "llm_lm_score" -> lmScore,
+    "llm_split" -> datasetSplit,
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
@@ -470,6 +496,7 @@ object OpsCuration extends Suite {
     "llm_balance_mix" -> balanceMixSql,
     "llm_epoch_shuffle" -> epochShuffleSql,
     "llm_lm_score" -> lmScoreSql,
+    "llm_split" -> datasetSplitSql,
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,

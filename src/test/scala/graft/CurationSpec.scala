@@ -81,6 +81,28 @@ class CurationSpec extends SparkSpec {
     assert(ref.toMap == out.toMap)
   }
 
+  test("split labels every row, tracks weights, and is salt-deterministic") {
+    val df = (0L until 4000L).map(Tuple1(_)).toDF("id")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.datasetSplit(df, col("id"), weights, "sp1:")
+    val byLabel = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 4000L)       // exhaustive labeling
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") / 4000.0 - 0.8) < 0.03)
+    assert(math.abs(byLabel("val") / 4000.0 - 0.1) < 0.02)
+    // deterministic: identical assignment on re-run; disjoint by construction
+    val again = Curation.datasetSplit(df, col("id"), weights, "sp1:")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == again)
+    // unnormalized weights behave like their normalized form
+    val scaled = Curation.datasetSplit(df, col("id"),
+        weights.map { case (n, w) => (n, w * 7) }, "sp1:")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scaled == again)
+  }
+
   test("unigramLogProb separates typical prose from rare-token noise") {
     val common = "the cat sat on the mat and the dog sat on the rug"
     val docs = Seq(
