@@ -361,6 +361,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** k-nearest-neighbor graph over the corpus: for every vector, its `k`
+    * most cosine-similar neighbors as directed (src, dst, cosine) edges —
+    * the backbone structure of graph-based curation (semantic dedup,
+    * density filtering, cluster labeling).
+    *
+    * `nlist = 0` scores all ordered pairs exactly (quadratic — the
+    * validation/oracle mode); `nlist > 0` generates candidates through
+    * IVF-cluster blocking with `probes`-nearest multi-probe assignment,
+    * so each vector only scores against its probed clusters (per-cluster
+    * quadratic). Either way the per-source top-k runs through the
+    * GroupedTopK bounded-heap operator — shuffle bounded at k rows per
+    * mapper per source, no per-source sort anywhere. Ties break by
+    * ascending dst id (total, deterministic). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               nlist: Int = 0, probes: Int = 3, iters: Int = 2,
+               seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val undirected =
+      if (nlist <= 0) exactPairs(corpus, idCol, vecCol, -1.0)
+      else clusterPairs(ivfIndex(corpus, idCol, vecCol, nlist, iters, seed),
+        idCol, vecCol, -1.0, probes)
+    val directed = undirected.select(
+        col("id_a").as("src"), col("id_b").as("dst"), col("cosine"))
+      .unionAll(undirected.select(
+        col("id_b").as("src"), col("id_a").as("dst"), col("cosine")))
+    graft.plans.GroupedTopK(directed, Seq("src"),
+      Seq(col("cosine").desc, col("dst").asc), k)
+  }
+
   /** SemDeDup-style semantic deduplication: drop all but one member of
     * every embedding-cosine near-dup cluster (pairs ≥ threshold →
     * connected components → keep each component's min id). The end-to-end

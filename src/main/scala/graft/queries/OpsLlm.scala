@@ -502,6 +502,31 @@ object OpsLlm extends Suite {
       |WHERE vec_id NOT IN (SELECT id FROM minlab WHERE id <> label)
       |ORDER BY vec_id""".stripMargin
 
+  // -- kNN graph (exact mode, k=5): per-node top-k through GroupedTopK;
+  //    oracle is a row_number window over the full ordered-pair cosine
+  //    set — a per-partition sort vs bounded heaps agreeing exactly. -----
+  private val knnGraph: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Similarity.knnGraph(t.embeddings, "vec_id", "embedding", k = 5,
+        nlist = 0)
+      .select(col("src"), col("dst"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("src"), col("dst"))
+  }
+  private val knnGraphSql =
+    """WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                               a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                                 b.embedding::DOUBLE[]))) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, c,
+      |        row_number() OVER (PARTITION BY src
+      |          ORDER BY c DESC, dst) AS rn
+      |      FROM s)
+      |SELECT src, dst, round(c, 6) AS cosine FROM r WHERE rn <= 5
+      |ORDER BY src, dst""".stripMargin
+
   // -- semantic dedup, IVF-blocked scale mode (rows-only: cluster blocking
   //    is approximate; recall + false-positive-free contracts are gated in
   //    LlmOpsSpec against the exact mode). This is the variant the bench
@@ -735,6 +760,7 @@ object OpsLlm extends Suite {
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_semantic_dedup" -> semanticDedup,
     "llm_semantic_dedup_ivf" -> semanticDedupIvf,
+    "llm_knn_graph" -> knnGraph,
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_embed_ann_recall" -> embedAnnRecall,
     "llm_embed_cluster_recall" -> embedClusterRecall,
@@ -764,6 +790,7 @@ object OpsLlm extends Suite {
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
     "llm_semantic_dedup" -> semanticDedupSql,
+    "llm_knn_graph" -> knnGraphSql,
     "llm_embed_ann_recall" -> embedAnnRecallSql,
     "llm_embed_cluster_recall" -> embedAnnRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,

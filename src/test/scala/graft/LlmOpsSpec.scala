@@ -420,6 +420,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(multi == exact)
   }
 
+  test("knnGraph: exact mode matches an in-memory reference; blocked " +
+    "mode ranks planted dups first") {
+    val dim = 16
+    val rnd = new scala.util.Random(47)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = (0L until 30L).map(i => (i, vec()))
+    val dups = bases.take(8).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val all = bases ++ dups
+    val emb = all.toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (s, v) => s -> v.map(_._2).toSet }
+    val byId = all.toMap
+    all.foreach { case (src, v) =>
+      val want = all.filter(_._1 != src)
+        .map { case (d, w) => (d, cos(v, w)) }
+        .sortBy { case (d, c) => (-c, d) }.take(3).map(_._1).toSet
+      assert(got(src) == want, s"src=$src")
+    }
+    // blocked mode: each planted dup's top neighbor is its base
+    val blocked = Similarity.knnGraph(emb, "vec_id", "embedding", k = 1,
+        nlist = 5, probes = 3, seed = 9L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dups.foreach { case (d, _) =>
+      assert(blocked(d) == d - 1000L, s"dup $d")
+    }
+  }
+
   test("semanticDedup: exact and IVF-blocked modes drop planted near-dups") {
     val dim = 16
     val rnd = new scala.util.Random(31)

@@ -17,6 +17,7 @@ class PlanGuardSpec extends SparkSpec {
     "llm_embed_ann_recall" -> 3,     // exact-pairs baseline + summary rows
     "llm_embed_cluster_recall" -> 3, // exact-pairs baseline + summary rows
     "llm_embed_exact_pairs" -> 1,    // the documented quadratic baseline
+    "llm_knn_graph" -> 2,            // exact-pair mode, both directions
     "llm_embed_quantized_topk" -> 1, // 1-row query-vector broadcast
     "llm_embed_topk" -> 1,           // 1-row query-vector broadcast
     "llm_lm_score" -> 1,             // 2-row total/vocab aggregate
