@@ -337,6 +337,40 @@ object Curation {
         sum(col("tf")).as("n_tok"))
   }
 
+  /** Per-document average conditional log-probability under an add-α
+    * smoothed BIGRAM model of the corpus: p(w₂|w₁) = (c(w₁w₂) + α) /
+    * (c(w₁) + α·V). Sharper than [[unigramLogProb]] at catching shuffled
+    * or unnatural word order (unigram-typical tokens in atypical
+    * sequence). Documents with fewer than 2 tokens produce no row. Same
+    * scale shape: per-doc bigram frequencies aggregate before joining the
+    * corpus bigram/unigram tables. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val toks = df.select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("i", "w")))
+      .filter(col("w").isNotNull)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+    val biTf = bi.groupBy(col(idCol), col("w"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val biCnt = bi.groupBy(col("w"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val uniCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uniCnt.agg(count(lit(1)).as("v"))
+    biTf.join(biCnt, Seq("w", "w2"))
+      .join(uniCnt, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg((sum(col("tf") * col("lp")) / sum(col("tf"))).as("avg_logprob"),
+        sum(col("tf")).as("n_bigrams"))
+  }
+
   // ---- domain-mixture balancing ------------------------------------------
 
   /** Rebalance a corpus to target group proportions ("data mixing"): given

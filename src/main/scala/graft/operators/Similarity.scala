@@ -390,6 +390,19 @@ object Similarity {
       Seq(col("cosine").desc, col("dst").asc), k)
   }
 
+  /** Per-vector neighborhood density: mean cosine to the k nearest
+    * neighbors from [[knnGraph]] — the standard embedding-space
+    * outlier/isolation signal (low density = far from everything =
+    * off-distribution sample; high density = redundant cluster core).
+    * Same exact/blocked modes as knnGraph. */
+  def knnDensity(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                 nlist: Int = 0, probes: Int = 3, iters: Int = 2,
+                 seed: Long = 42L): DataFrame =
+    knnGraph(corpus, idCol, vecCol, k, nlist, probes, iters, seed)
+      .groupBy(col("src").as(idCol))
+      .agg(avg(col("cosine")).as("knn_density"),
+        count(lit(1)).as("n_neighbors"))
+
   /** SemDeDup-style semantic deduplication: drop all but one member of
     * every embedding-cosine near-dup cluster (pairs ≥ threshold →
     * connected components → keep each component's min id). The end-to-end

@@ -152,6 +152,33 @@ object OpsCuration extends Suite {
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // -- bigram LM scoring: avg conditional log p(w2|w1), add-1 smoothing;
+  //    catches unnatural word ORDER that unigram scoring cannot. --------
+  private val lmBigram: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.bigramLogProb(t.documents, "doc_id", "text", alpha = 1.0)
+      .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
+        col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+  private val lmBigramSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |bi AS (SELECT doc_id, tk[i] AS w, tk[i + 1] AS w2
+      |       FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      |       WHERE len(tk) >= 2),
+      |bc AS (SELECT w, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |un AS (SELECT unnest(tk) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS cu FROM un GROUP BY w),
+      |vv AS (SELECT count(*) AS v FROM uc),
+      |sc AS (SELECT b.doc_id, ln((cb + 1.0) / (cu + 1.0 * v)) AS lp
+      |       FROM bi b JOIN bc USING (w, w2) JOIN uc USING (w)
+      |       CROSS JOIN vv)
+      |SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+      |       count(*) AS n_bigrams
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // -- PII redaction: the corpus is synthetic word-soup with no real PII,
   //    so the query plants deterministic contact strings derived from the
   //    row's own columns, then redacts them — both sides build the same
@@ -478,6 +505,7 @@ object OpsCuration extends Suite {
     "llm_balance_mix" -> balanceMix,
     "llm_epoch_shuffle" -> epochShuffle,
     "llm_lm_score" -> lmScore,
+    "llm_lm_bigram" -> lmBigram,
     "llm_split" -> datasetSplit,
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
@@ -496,6 +524,7 @@ object OpsCuration extends Suite {
     "llm_balance_mix" -> balanceMixSql,
     "llm_epoch_shuffle" -> epochShuffleSql,
     "llm_lm_score" -> lmScoreSql,
+    "llm_lm_bigram" -> lmBigramSql,
     "llm_split" -> datasetSplitSql,
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,

@@ -527,6 +527,33 @@ object OpsLlm extends Suite {
       |SELECT src, dst, round(c, 6) AS cosine FROM r WHERE rn <= 5
       |ORDER BY src, dst""".stripMargin
 
+  // -- kNN density (exact mode): mean cosine to the 5 nearest neighbors,
+  //    the embedding-space outlier signal. ------------------------------
+  private val knnDensity: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Similarity.knnDensity(t.embeddings, "vec_id", "embedding", k = 5,
+        nlist = 0)
+      .select(col("vec_id"), round(col("knn_density"), 6).as("knn_density"),
+        col("n_neighbors"))
+      .orderBy(col("vec_id"))
+  }
+  private val knnDensitySql =
+    """WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                               a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                                 b.embedding::DOUBLE[]))) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, c,
+      |        row_number() OVER (PARTITION BY src
+      |          ORDER BY c DESC, dst) AS rn
+      |      FROM s)
+      |SELECT src AS vec_id, round(avg(c), 6) AS knn_density,
+      |       count(*) AS n_neighbors
+      |FROM r WHERE rn <= 5 GROUP BY src
+      |ORDER BY vec_id""".stripMargin
+
   // -- semantic dedup, IVF-blocked scale mode (rows-only: cluster blocking
   //    is approximate; recall + false-positive-free contracts are gated in
   //    LlmOpsSpec against the exact mode). This is the variant the bench
@@ -761,6 +788,7 @@ object OpsLlm extends Suite {
     "llm_semantic_dedup" -> semanticDedup,
     "llm_semantic_dedup_ivf" -> semanticDedupIvf,
     "llm_knn_graph" -> knnGraph,
+    "llm_knn_density" -> knnDensity,
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_embed_ann_recall" -> embedAnnRecall,
     "llm_embed_cluster_recall" -> embedClusterRecall,
@@ -791,6 +819,7 @@ object OpsLlm extends Suite {
     "llm_embed_exact_pairs" -> embedExactPairsSql,
     "llm_semantic_dedup" -> semanticDedupSql,
     "llm_knn_graph" -> knnGraphSql,
+    "llm_knn_density" -> knnDensitySql,
     "llm_embed_ann_recall" -> embedAnnRecallSql,
     "llm_embed_cluster_recall" -> embedAnnRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,

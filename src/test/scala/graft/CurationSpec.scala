@@ -125,6 +125,26 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(4L)._1 - expected) < 1e-9)
   }
 
+  test("bigramLogProb penalizes shuffled word order where unigram cannot") {
+    val natural = "the cat sat on the mat and the cat sat on the rug"
+    // same multiset of tokens, scrambled order -> identical unigram stats
+    val shuffled = "mat the on sat cat the rug the on and cat sat the"
+    val docs = Seq((1L, natural), (2L, natural), (3L, natural),
+      (4L, shuffled)).toDF("doc_id", "text")
+    val uni = Curation.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uni(1L) - uni(4L)) < 1e-9) // unigram is order-blind
+    val bi = Curation.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(bi(1L)._1 > bi(4L)._1 + 0.5) // bigram flags the scramble
+    assert(bi(1L)._2 == 12L)            // 13 tokens -> 12 bigrams
+    // a 1-token doc yields no bigram row
+    val one = Curation.bigramLogProb(
+      Seq((9L, "single")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(one.count() == 0L)
+  }
+
   test("redactPii masks emails, IPs, and phones; counts match") {
     val df = Seq(
       "write bob.smith+x@corp-mail.io from 192.168.0.1 or +44-201-7777",
