@@ -31,7 +31,7 @@ object Bench {
       // dedup, mixture balancing, epoch shuffle, semantic dedup
       "llm_dedup_prefix", "llm_winnow", "llm_dedup_spans",
       "llm_balance_mix", "llm_epoch_shuffle", "llm_semantic_dedup_ivf",
-      "llm_lm_score")
+      "llm_lm_score", "llm_lm_bigram", "llm_pipeline_curate_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

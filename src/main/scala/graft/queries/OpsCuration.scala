@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries: deterministic stratified sampling, PII
@@ -126,6 +126,85 @@ object OpsCuration extends Suite {
       |                             1, 8)) AS BIGINT) AS b
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- end-to-end curation v2, composed ENTIRELY from this round's
+  //    operators: prefix-filtered near-dup pairs -> connected-components
+  //    survivors -> mixture balancing -> train/val/test split -> corpus
+  //    stats. One exact oracle replays the whole chain (RECURSIVE closure
+  //    for the clustering, quota arithmetic, bucket selection, split
+  //    cutoffs) — five composed stages, hash-checked end to end. ---------
+  private val pipelineV2: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"))
+    val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val surv = Dedup.survivors(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      pairs, "doc_id")
+    val bal = Curation.balanceMix(surv, "lang", col("doc_id"),
+      mixTargets.toMap, salt)
+    val lab = Curation.datasetSplit(bal, col("doc_id"), splitWeights, salt)
+    lab.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"), col("split"))
+  }
+  private val pipelineV2Sql = {
+    val caseShare = mixTargets
+      .map { case (g, p) => s"WHEN '$g' THEN CAST($p AS DOUBLE)" }
+      .mkString(" ")
+    val cuts = Curation.splitCuts(splitWeights)
+    val splitCase = splitWeights.zipWithIndex
+      .map { case ((name, _), i) =>
+        s"WHEN b >= ${cuts(i)} AND b < ${cuts(i + 1)} THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
+      |           AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT id_a, id_b FROM cp
+      |       JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      |       WHERE c * 1.0 / (x.n + y.n - c) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+      |          UNION SELECT id_b, id_a FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |minlab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |           FROM reach GROUP BY src),
+      |surv AS (SELECT doc_id, lang, n_chars FROM documents
+      |         WHERE doc_id NOT IN
+      |           (SELECT id FROM minlab WHERE id <> label)),
+      |c AS (SELECT lang, count(*) AS n_g, CASE lang $caseShare END AS p_g
+      |      FROM surv GROUP BY lang),
+      |cap AS (SELECT min(CAST(n_g AS DOUBLE) / p_g) AS t FROM c),
+      |q AS (SELECT lang, CAST(floor(p_g * t) AS BIGINT) AS k_g FROM c, cap),
+      |r AS (SELECT doc_id, lang, n_chars, row_number() OVER
+      |        (PARTITION BY lang ORDER BY
+      |         CAST(('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)),
+      |                              1, 8)) AS BIGINT), doc_id) AS rn
+      |      FROM surv),
+      |bal AS (SELECT r.doc_id, r.lang, r.n_chars,
+      |          CAST(('0x' || substr(md5('$salt'
+      |            || CAST(r.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+      |        FROM r JOIN q USING (lang) WHERE rn <= k_g),
+      |lab AS (SELECT doc_id, lang, n_chars,
+      |          CASE $splitCase ELSE '${splitWeights.last._1}' END AS split
+      |        FROM bal)
+      |SELECT lang, split, count(*) AS docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS min_doc
+      |FROM lab GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
   }
 
   // -- corpus-adaptive unigram LM scoring (perplexity-style quality
@@ -507,6 +586,7 @@ object OpsCuration extends Suite {
     "llm_lm_score" -> lmScore,
     "llm_lm_bigram" -> lmBigram,
     "llm_split" -> datasetSplit,
+    "llm_pipeline_curate_v2" -> pipelineV2,
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
@@ -526,6 +606,7 @@ object OpsCuration extends Suite {
     "llm_lm_score" -> lmScoreSql,
     "llm_lm_bigram" -> lmBigramSql,
     "llm_split" -> datasetSplitSql,
+    "llm_pipeline_curate_v2" -> pipelineV2Sql,
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,
