@@ -584,6 +584,8 @@ object Dedup {
       // neighbor-min: each node adopts min(own label, neighbors' labels).
       // Checkpointed: the pointer-jump below self-joins this frame, which
       // would otherwise evaluate the two-join aggregate twice per round.
+      // The previous label rides along as `old` so convergence is a plain
+      // filter-count over the checkpointed result — no extra join job.
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
@@ -591,7 +593,8 @@ object Dedup {
         .agg(min(col("dst_label")).as("nbr_label"))
         .join(labels, Seq("id"))
         .select(col("id"),
-          least(col("label"), col("nbr_label")).as("label"))
+          least(col("label"), col("nbr_label")).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
       // pointer jump: label := label's label (path halving)
       val next = nbrMin.as("a")
@@ -599,12 +602,11 @@ object Dedup {
           col("label").as("jump")).as("b"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("jump"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"),
-          Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") < col("old")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
