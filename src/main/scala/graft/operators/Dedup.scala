@@ -220,6 +220,32 @@ object Dedup {
       .drop("grp")
   }
 
+  /** Apply [[duplicateSpans]]: rebuild each document's text with the
+    * duplicated token spans CUT OUT (whitespace-normalized, tokens joined
+    * by single spaces). Documents with no duplicated spans pass through
+    * with normalized whitespace; documents that were entirely duplicated
+    * spans come back empty. Per-document work only: the span join is on
+    * document id (a handful of span rows per doc) and the re-assembly
+    * sorts each document's own tokens — bounded by document length. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  L: Int = 20, minOccurrences: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, L, minOccurrences)
+      .select(col(idCol), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("p0", "w")))
+      .filter(col("w").isNotNull)
+      .select(col(idCol), (col("p0") + 1).as("i"), col("w"))
+    val cut = toks.join(spans,
+        toks(idCol) === spans(idCol) &&
+          col("i") >= col("span_start") && col("i") <= col("span_end"),
+        "left_anti")
+    cut.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          s => s.getField("w")), " ").as("clean_text"))
+  }
+
   // --- shingling ---------------------------------------------------------
 
   /** Distinct word-n-gram shingles, one row per (id, shingleHash). Tokens

@@ -361,6 +361,48 @@ object OpsLlm extends Suite {
       |FROM s GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin
 
+  // -- span removal: the cleaned corpus after cutting duplicated 8-gram
+  //    spans; oracle rebuilds each doc with a NOT EXISTS range check and
+  //    ordered string_agg. -----------------------------------------------
+  private val despanned: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.removeSpans(t.documents, "doc_id", "text",
+        L = 8, minOccurrences = 2)
+      .orderBy(col("doc_id"))
+  }
+  private val despannedSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, i,
+      |        md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gh
+      |      FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+      |      WHERE len(tk) >= 8),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |p AS (SELECT doc_id, i, i + 7 AS e FROM g
+      |      WHERE gh IN (SELECT gh FROM dup)),
+      |m AS (SELECT doc_id, i, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM p),
+      |f AS (SELECT doc_id, i, e,
+      |        CASE WHEN pme IS NULL OR i > pme + 1 THEN 1 ELSE 0 END AS isl
+      |      FROM m),
+      |s AS (SELECT doc_id, i, e,
+      |        sum(isl) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |      FROM f),
+      |spans AS (SELECT doc_id, min(i) AS ss, max(e) AS se
+      |          FROM s GROUP BY doc_id, grp),
+      |w AS (SELECT doc_id, i, tk[i] AS w
+      |      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+      |keep AS (SELECT doc_id, i, w FROM w
+      |         WHERE NOT EXISTS (SELECT 1 FROM spans
+      |           WHERE spans.doc_id = w.doc_id
+      |             AND w.i BETWEEN spans.ss AND spans.se))
+      |SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+      |FROM keep GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // -- MinHash-LSH near-dup pairs. Candidates are re-scored with exact
   //    Jaccard, and at threshold 0.9 with k=64/bands=16 the per-pair miss
   //    probability is ~(1-0.9^4)^16 ≈ 4e-8 — deterministic hashes make the
@@ -779,6 +821,7 @@ object OpsLlm extends Suite {
     "llm_winnow" -> winnow,
     "llm_winnow_pairs" -> winnowPairs,
     "llm_dedup_spans" -> dedupSpans,
+    "llm_despanned" -> despanned,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
     "llm_dedup_simhash" -> dedupSimhash,
@@ -811,6 +854,7 @@ object OpsLlm extends Suite {
     "llm_winnow" -> winnowSql,
     "llm_winnow_pairs" -> winnowPairsSql,
     "llm_dedup_spans" -> dedupSpansSql,
+    "llm_despanned" -> despannedSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_dedup_survivors" -> dedupSurvivorsSql,

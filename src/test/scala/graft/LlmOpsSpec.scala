@@ -151,6 +151,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(spans == Set((30L, 1, 10), (30L, 12, 21)))
   }
 
+  test("removeSpans cuts duplicated regions and passes clean docs through") {
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (40L, s"$run filler $run"),             // both copies cut
+      (41L, "a perfectly unique sentence with no repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(d, "doc_id", "text",
+        L = 10, minOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(40L) == "filler")
+    assert(out(41L) ==
+      "a perfectly unique sentence with no repeats anywhere at all")
+  }
+
   test("shingle cap truncation is visible: stats diagnostic + observe") {
     // the always-available diagnostic for sizing a cap
     val stats = Dedup.shingleCapStats(docs, "doc_id", "text", n = 3, cap = 1)
