@@ -373,6 +373,162 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
   }
 
+  // --- containment (asymmetric near-dup) ----------------------------------
+
+  /** Directed containment pairs: every ordered (id_a, id_b), a ≠ b, with
+    * containment(A→B) = |A∩B| / |A| ≥ threshold over word-n-gram shingle
+    * sets. Containment is the asymmetric twin of Jaccard: a short document
+    * quoted wholesale inside a long one has high containment but LOW
+    * Jaccard (the size imbalance dilutes the union), so Jaccard-threshold
+    * dedup systematically misses subset/quotation duplication — the case
+    * containment exists for. Each undirected intersection count yields two
+    * directed rows normalized by the respective source size.
+    *
+    * Scale design: identical to [[ngramJaccardPairs]] — the intersection
+    * counts come from the same doc-frequency-capped posting-list plan
+    * (count-only doc-freq aggregate first, hot shingles semi-joined out
+    * before any posting list materializes), and the direction expansion is
+    * a map-side union of two projections of that bounded pair set. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Option[Int] = Some(500)): DataFrame = {
+    val sh = persistScoped(s"contain:$idCol:$textCol:$n",
+      shingles(df, idCol, textCol, n))
+    val sizes = shingleSizes(sh, idCol)
+    val undirected = commonCounts(sh, idCol, maxDocFreq)
+    val directed = undirected
+      .unionAll(undirected.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("common")))
+    directed
+      .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
+      .withColumn("containment",
+        col("common").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  // --- n-gram novelty ------------------------------------------------------
+
+  /** Per-document n-gram novelty: of a document's distinct word-n-gram
+    * shingles, the fraction occurring in NO other document. Low novelty
+    * flags boilerplate-heavy or template-generated documents whose content
+    * is mostly shared with the rest of the corpus; high novelty marks the
+    * unique tail worth keeping — a corpus-level diversity signal that
+    * pairwise dedup (which only sees documents two at a time) cannot
+    * produce. Documents shorter than n tokens have no shingles and are
+    * absent from the output.
+    *
+    * Scale design: two count-only aggregations (doc-frequency per shingle,
+    * then per-document counts after a re-join on the 8-byte shingle hash) —
+    * fixed-size buffers, full map-side combine, no posting lists, no cap
+    * needed. The ratio is an exact integer-to-double division, so the
+    * scores are bit-reproducible across engines. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = persistScoped(s"novel:$idCol:$textCol:$n",
+      shingles(df, idCol, textCol, n))
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+      .withColumn("novelty",
+        col("novel_shingles").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  // --- TF-IDF sparse cosine similarity -------------------------------------
+
+  /** Sparse TF-IDF weights over word-n-gram terms: one row per
+    * (document, term) with weight = tf · idf, where tf is the raw
+    * within-document term count and idf = round(ln((1+N)/(1+df)) + 1, 6)
+    * (smoothed so no kept term is zero-weighted; rounded so the one-ulp
+    * divergence between libm and java.lang.Math log disappears and
+    * downstream scores stay engine-portable). Terms with doc-frequency
+    * above `maxDocFreq` are dropped BEFORE weighting — they carry the least
+    * information (idf ≈ floor) and are exactly the hot inverted-index keys
+    * that would make the pair join quadratic. N counts documents with at
+    * least one shingle; norms are over each document's kept terms. */
+  def tfidfWeights(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3,
+                   maxDocFreq: Option[Int] = Some(500)): DataFrame = {
+    val tf = persistScoped(s"tfidf:$idCol:$textCol:$n",
+      shingleTf(df, idCol, textCol, n))
+    val docFreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(maxDocFreq.map(cap => col("df") <= cap).getOrElse(lit(true)))
+    val nDocs = tf.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "sh")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        round(log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1, 6))
+      .select(col(idCol), col("sh"), (col("tf") * col("idf")).as("wgt"))
+  }
+
+  /** All id pairs (a < b) with TF-IDF cosine similarity ≥ threshold over
+    * word-n-gram terms — lexical near-dup/similarity scoring that, unlike
+    * set-based Jaccard, weighs WHICH terms two documents share: rare-term
+    * overlap counts for much more than stop-phrase overlap, so it separates
+    * "shares boilerplate" from "shares content" without needing embeddings.
+    *
+    * cosine(a,b) = Σ_t w_a(t)·w_b(t) / (‖w_a‖·‖w_b‖), computed sparsely:
+    * the dot product sums over shared terms only, via the same
+    * posting-list plan as [[ngramJaccardPairs]] (doc-freq cap first, then
+    * per-term (id, weight) lists, in-bucket ordered pairs, partial-agg
+    * sum) — no dense vectors, no cartesian product. Norms are one
+    * count-style aggregate per document over its kept terms.
+    *
+    * Determinism note: the dot/norm sums are order-sensitive IEEE double
+    * additions, so cross-engine comparisons must round — both the emitted
+    * score and the threshold test use round(·, 6), making the qualifying
+    * pair set itself engine-portable (a raw `cos ≥ t` test could disagree
+    * across engines for a pair a few ulps from the threshold). */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxDocFreq: Option[Int] = Some(500)): DataFrame = {
+    // persisted: consumed by both the norm aggregate and the posting-list
+    // dot product; scoped lifecycle (released on the next call / releaseCaches)
+    val w = persistScoped(s"tfidfW:$idCol:$textCol:$n:$maxDocFreq",
+      tfidfWeights(df, idCol, textCol, n, maxDocFreq))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+    val dots = w
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("wgt"))).as("xs"))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
+    val out = dots
+      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cosine",
+        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    out
+  }
+
+  /** [[shingles]] with term frequencies: one row per (id, shingleHash, tf)
+    * where tf counts the shingle's occurrences within the document (the
+    * distinct-set form drops multiplicity, which TF-IDF needs). Same
+    * allocation-free hash pipeline and explode_outer guard. */
+  def shingleTf(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 3): DataFrame = {
+    val t = tokensExpr(textCol)
+    val hashArgs = (0 until n).map(j => s"element_at(th, i + $j)")
+      .mkString(", ")
+    val shingleArr =
+      s"""CASE WHEN size(th) >= $n
+         |  THEN transform(sequence(1, size(th) - ${n - 1}),
+         |                 i -> xxhash64($hashArgs))
+         |  ELSE CAST(array() AS array<bigint>) END""".stripMargin
+    df.select(col(idCol), expr(s"transform($t, x -> xxhash64(x))").as("th"))
+      .select(col(idCol), explode_outer(expr(shingleArr)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .groupBy(col(idCol), col("sh"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   // --- prefix-filtered exact Jaccard (AllPairs/PPJoin family) -------------
 
   /** All id pairs (a < b) with word-n-gram Jaccard ≥ threshold — EXACT, via

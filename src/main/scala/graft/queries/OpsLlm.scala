@@ -403,6 +403,89 @@ object OpsLlm extends Suite {
       |FROM keep GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // -- containment (asymmetric) near-dup pairs: directed |A∩B|/|A| — the
+  //    subset/quotation-duplication signal Jaccard dilutes. Exact integer
+  //    division keeps the scores engine-portable unrounded. ---------------
+  private val dedupContainment: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.containmentPairs(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val dedupContainmentSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, c * 1.0 / x.n AS containment
+      |FROM pairs JOIN sz x ON id_a = x.doc_id
+      |WHERE c * 1.0 / x.n >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -- per-document n-gram novelty: the fraction of a doc's shingles seen
+  //    nowhere else — a corpus-level diversity / boilerplate signal. -------
+  private val novelty: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.noveltyScores(t.documents, "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+  private val noveltySql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS novel_shingles,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+      |    / count(*) AS novelty
+      |FROM sh JOIN dfq USING (s) GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -- TF-IDF sparse cosine pairs: rare-term-weighted lexical similarity.
+  //    idf is rounded on both sides (libm-vs-Math ln is 1-ulp apart); the
+  //    dot/norm sums are order-sensitive, so the score AND the threshold
+  //    test use round(·,6) — the qualifying set itself is engine-portable.
+  private val tfidfPairs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.tfidfCosinePairs(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val tfidfPairsSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |grams AS (SELECT doc_id,
+      |            w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |tf AS (SELECT doc_id, s, count(*) AS tf FROM grams GROUP BY 1, 2),
+      |dfq AS (SELECT s, count(*) AS df FROM tf GROUP BY s
+      |        HAVING count(*) <= 500),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |wt AS (SELECT doc_id, tf.s,
+      |         tf * round(ln((1 + n) * 1.0 / (1 + df)) + 1, 6) AS wgt
+      |       FROM tf JOIN dfq ON tf.s = dfq.s CROSS JOIN nd),
+      |nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm FROM wt
+      |        GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |           sum(a.wgt * b.wgt) AS dot
+      |         FROM wt a JOIN wt b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cosine
+      |FROM dots JOIN nrm x ON id_a = x.doc_id JOIN nrm y ON id_b = y.doc_id
+      |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -- MinHash-LSH near-dup pairs. Candidates are re-scored with exact
   //    Jaccard, and at threshold 0.9 with k=64/bands=16 the per-pair miss
   //    probability is ~(1-0.9^4)^16 ≈ 4e-8 — deterministic hashes make the
@@ -822,6 +905,9 @@ object OpsLlm extends Suite {
     "llm_winnow_pairs" -> winnowPairs,
     "llm_dedup_spans" -> dedupSpans,
     "llm_despanned" -> despanned,
+    "llm_dedup_containment" -> dedupContainment,
+    "llm_novelty" -> novelty,
+    "llm_tfidf_pairs" -> tfidfPairs,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
     "llm_dedup_simhash" -> dedupSimhash,
@@ -855,6 +941,9 @@ object OpsLlm extends Suite {
     "llm_winnow_pairs" -> winnowPairsSql,
     "llm_dedup_spans" -> dedupSpansSql,
     "llm_despanned" -> despannedSql,
+    "llm_dedup_containment" -> dedupContainmentSql,
+    "llm_novelty" -> noveltySql,
+    "llm_tfidf_pairs" -> tfidfPairsSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_dedup_survivors" -> dedupSurvivorsSql,
