@@ -25,6 +25,11 @@ class PlanGuardSpec extends SparkSpec {
     "llm_embed_topk" -> 1,           // 1-row query-vector broadcast
     "llm_lm_score" -> 1,             // 2-row total/vocab aggregate
     "llm_semantic_dedup" -> 1,       // exact-pair mode (validation)
+    "llm_tfidf_pairs" -> 3,          // 1-row corpus-size (idf N) aggregate;
+                                     // the cached weight relation is printed
+                                     // under dots + both norm joins, so the
+                                     // single scalar cross shows 3× in text
+                                     // (one cache build executes it once)
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
