@@ -411,6 +411,61 @@ object Curation {
       .drop("__rn", "k_g")
   }
 
+  // ---- Gopher-style heuristic filter battery ------------------------------
+
+  /** Gopher-rule filter battery (Rae et al. 2021 §A1.1, adapted to the
+    * signals computable without a tokenizer model): one row per document
+    * with the raw signals, a 0/1 flag per rule, and the conjunction
+    * verdict `keep`. Unlike [[graft.operators.TextAnalysis.qualityScore]]
+    * (a single additive score for ranking), this is the REJECTION battery
+    * a curation pipeline applies before dedup — each rule is independently
+    * reportable, so corpus dashboards can attribute removal volume to
+    * specific rules.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 12] chars; ≥ 80% of words contain an alphabetic character;
+    * symbol-to-word ratio ('#' or '…'/'...') ≤ 0.1; at least 2 distinct
+    * English stopword hits (the duplicated-stopword guard against
+    * keyword-stuffing pages).
+    *
+    * Scale design: pure column expressions over ONE bound token array —
+    * a narrow map-side scan, zero shuffle at any corpus size. The token
+    * array is bound as a column first (not re-derived per rule), so the
+    * tokenizer regex runs once per document, not once per rule. All
+    * ratios are exact integer-to-double divisions — bit-reproducible
+    * across engines. */
+  def gopherFilters(df: DataFrame, docId: Column, text: Column,
+                    minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val nWords = greatest(size(col("__toks")), lit(1)).cast("double")
+    val flag = (c: Column) => when(c, 1).otherwise(0)
+    df.select(docId.as("doc_id"), text.as("__t"))
+      .withColumn("__toks", split(trim(col("__t")), "\\s+"))
+      .withColumn("n_words", size(col("__toks")))
+      .withColumn("mean_word_len",
+        expr("aggregate(__toks, 0L, (a, x) -> a + length(x))")
+          .cast("double") / nWords)
+      .withColumn("alpha_frac",
+        expr("size(filter(__toks, x -> x rlike '[a-zA-Z]'))")
+          .cast("double") / nWords)
+      .withColumn("symbol_ratio",
+        ((size(split(col("__t"), "#", -1)) - 1 +
+          size(split(col("__t"), "\\.\\.\\.", -1)) - 1).cast("double"))
+          / nWords)
+      .withColumn("n_stop", size(array_distinct(regexp_extract_all(
+        lower(col("__t")),
+        lit("\\b(the|and|of|to|in|is|that|it|for|was)\\b"), lit(0)))))
+      .withColumn("g_words",
+        flag(col("n_words").between(minWords, maxWords)))
+      .withColumn("g_mean_len",
+        flag(col("mean_word_len").between(3.0, 12.0)))
+      .withColumn("g_alpha", flag(col("alpha_frac") >= 0.8))
+      .withColumn("g_symbol", flag(col("symbol_ratio") <= 0.1))
+      .withColumn("g_stop", flag(col("n_stop") >= 2))
+      .withColumn("keep", col("g_words") * col("g_mean_len") *
+        col("g_alpha") * col("g_symbol") * col("g_stop"))
+      .drop("__t", "__toks")
+  }
+
   // ---- epoch shuffle (deterministic global permutation) ------------------
 
   /** Deterministic global shuffle order for training dataloaders: every row

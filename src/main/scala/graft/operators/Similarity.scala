@@ -403,6 +403,47 @@ object Similarity {
       .agg(avg(col("cosine")).as("knn_density"),
         count(lit(1)).as("n_neighbors"))
 
+  /** Per-label centroid diagnostics over a labeled embedding corpus: for
+    * each label, the member count, the centroid's L2 norm, and the
+    * mean/min cosine of members to their OWN label centroid ("purity") —
+    * the standard embedding-space health check before using labels for
+    * curriculum mixing or classifier-based filtering (a low-purity label
+    * is mislabeled or multi-modal; a near-zero centroid norm means the
+    * label's members cancel out, i.e. carry no common direction).
+    *
+    * Scale design: the centroid is a dim-wise mean via posexplode →
+    * groupBy(label, pos) partial aggregation — (labels × dim) rows total,
+    * full map-side combine, never a per-label collect. Centroid arrays
+    * (labels × dim doubles) re-broadcast to members by label equi-join.
+    * Determinism: dim-wise means are rounded to 6 decimals BEFORE any
+    * downstream arithmetic, so member cosines fold identical doubles in
+    * identical (sequential array) order on any engine — the only
+    * order-sensitive reductions left are the final per-label avg/min,
+    * rounded on emit. */
+  def labelCentroidStats(corpus: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val ex = corpus.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+    val centroids = ex.groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+    val dot = (x: String, y: String) =>
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (s, t) -> s + t)")
+    corpus.select(col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(centroids), "label")
+      .withColumn("__cos", dot("__v", "centroid") /
+        (sqrt(dot("__v", "__v")) * sqrt(dot("centroid", "centroid"))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sqrt(first(dot("centroid", "centroid"))), 6)
+          .as("centroid_norm"),
+        round(avg(col("__cos")), 6).as("mean_cos"),
+        round(min(col("__cos")), 6).as("min_cos"))
+  }
+
   /** SemDeDup-style semantic deduplication: drop all but one member of
     * every embedding-cosine near-dup cluster (pairs ≥ threshold →
     * connected components → keep each component's min id). The end-to-end

@@ -327,6 +327,42 @@ object OpsCuration extends Suite {
       |FROM m JOIN t ON m.doc_id = t.doc_id
       |ORDER BY m.doc_id""".stripMargin
 
+  // -- Gopher-rule rejection battery: raw signals + one 0/1 flag per rule
+  //    + the conjunction verdict, so removal volume is attributable to
+  //    specific rules. All ratios are exact integer-to-double divisions —
+  //    no rounding needed on either side. -------------------------------
+  private val gopher: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.gopherFilters(t.documents, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+  private val gopherSql =
+    """WITH d AS (SELECT doc_id, text AS t,
+      |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sig AS (SELECT doc_id,
+      |  CAST(len(w) AS INT) AS n_words,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+      |    / greatest(len(w), 1) AS mean_word_len,
+      |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |    AS DOUBLE) / greatest(len(w), 1) AS alpha_frac,
+      |  CAST(len(string_split(t, '#')) - 1
+      |     + len(string_split(t, '...')) - 1 AS DOUBLE)
+      |    / greatest(len(w), 1) AS symbol_ratio,
+      |  CAST(len(list_distinct(regexp_extract_all(lower(t),
+      |    '\b(the|and|of|to|in|is|that|it|for|was)\b'))) AS INT) AS n_stop
+      |FROM d)
+      |SELECT *,
+      |  g_words * g_mean_len * g_alpha * g_symbol * g_stop AS keep
+      |FROM (SELECT *,
+      |  CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS g_words,
+      |  CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END
+      |    AS g_mean_len,
+      |  CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS g_alpha,
+      |  CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS g_symbol,
+      |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS g_stop
+      |FROM sig)
+      |ORDER BY doc_id""".stripMargin
+
   // -- benchmark decontamination: training docs (source ≠ src0) that leak
   //    5-token shingles from the benchmark corpus (source = src0). k=5 is
   //    calibrated to catch the planted near-duplicates without tripping on
@@ -590,6 +626,7 @@ object OpsCuration extends Suite {
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
     "llm_repetition" -> repetition,
+    "llm_gopher_filters" -> gopher,
     "llm_decontaminate" -> decontaminate,
     "llm_chunking" -> chunking,
     "llm_pack_sequences" -> packSequences,
@@ -610,6 +647,7 @@ object OpsCuration extends Suite {
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
     "llm_repetition" -> repetitionSql,
+    "llm_gopher_filters" -> gopherSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_chunking" -> chunkingSql,
     "llm_pack_sequences" -> packSequencesSql,

@@ -209,6 +209,33 @@ object OpsLlm extends Suite {
     """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
+  // -- incremental dedup (the daily-ingest shape): new batch (src10-19,
+  //    i.e. source names longer than 4 chars) deduped within itself, then
+  //    anti-joined against the fingerprints the seen corpus (src0-9)
+  //    already holds. The seen side carries ONLY fingerprints — the 100 TB
+  //    state shape. -------------------------------------------------------
+  private val dedupIncremental: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.withColumn("fp", TA.fingerprint(col("text")))
+    val seen = docs.filter(length(col("source")) <= 4)
+    val batch = docs.filter(length(col("source")) > 4)
+    Dedup.incrementalExact(batch, seen, Seq("fp"), "doc_id")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val dedupIncrementalSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ',
+      |      'g'))) AS fp
+      |  FROM documents),
+      |batch AS (SELECT * FROM d WHERE length(source) > 4),
+      |seen AS (SELECT DISTINCT fp FROM d WHERE length(source) <= 4),
+      |surv AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+      |SELECT b.doc_id, b.fp FROM batch b
+      |JOIN surv s ON b.fp = s.fp AND b.doc_id = s.doc_id
+      |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = b.fp)
+      |ORDER BY b.doc_id""".stripMargin
+
   // -- keep-best dedup: one canonical (longest) doc per (lang, source)
   //    stratum via Dedup.exactKeepBest — the GroupedTopK k=1 path, so no
   //    stratum is ever sorted; ties break to the smallest doc_id. ----------
@@ -428,6 +455,38 @@ object OpsLlm extends Suite {
       |WHERE c * 1.0 / x.n >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -- edit-distance verified near-identical pairs: candidates share ≥ 5
+  //    informative shingles (the sparsest TRUE pair on this corpus shares
+  //    8 — measured, 100% recall with ~4000× candidate pruning), then a
+  //    lossless length band, then the levenshtein verify against the
+  //    relative bound (0.3 · max length) — the character-level metric
+  //    that charges reorderings shingle-set Jaccard forgives. ------------
+  private val dedupEdit: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.editDistancePairs(t.documents, "doc_id", "text",
+        n = 3, maxRel = 0.3, minCommon = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val dedupEditSql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT id_a, id_b,
+      |  CAST(levenshtein(x.text, y.text) AS INT) AS edit_dist
+      |FROM cands JOIN documents x ON id_a = x.doc_id
+      |           JOIN documents y ON id_b = y.doc_id
+      |WHERE abs(length(x.text) - length(y.text))
+      |    <= 0.3 * greatest(length(x.text), length(y.text))
+      |  AND levenshtein(x.text, y.text)
+      |    <= 0.3 * greatest(length(x.text), length(y.text))
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -- per-document n-gram novelty: the fraction of a doc's shingles seen
   //    nowhere else — a corpus-level diversity / boilerplate signal. -------
   private val novelty: Q = (s, dir) => {
@@ -567,6 +626,37 @@ object OpsLlm extends Suite {
       |       * sqrt(list_dot_product(qv, qv))), 6) AS cosine
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+
+  // -- per-label centroid diagnostics: member count, centroid norm, and
+  //    own-centroid cosine purity per label. Centroid components are
+  //    rounded to 6 decimals on BOTH sides before any downstream
+  //    arithmetic, so the member cosines fold identical doubles in
+  //    identical sequential order — only the final avg/min round on emit.
+  private val embedLabelPurity: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Similarity.labelCentroidStats(t.embeddings, "vec_id", "embedding",
+        "label")
+      .orderBy(col("label"))
+  }
+  private val embedLabelPuritySql =
+    """WITH ex AS (SELECT label, vec_id, embedding AS e,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings),
+      |cent AS (SELECT label, pos, round(avg(CAST(e[pos] AS DOUBLE)), 6) AS c
+      |         FROM ex GROUP BY label, pos),
+      |carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent
+      |         GROUP BY label),
+      |m AS (SELECT e.label, e.vec_id,
+      |        list_dot_product(e.embedding::DOUBLE[], c.centroid) AS dot,
+      |        sqrt(list_dot_product(e.embedding::DOUBLE[],
+      |                              e.embedding::DOUBLE[])) AS nv,
+      |        sqrt(list_dot_product(c.centroid, c.centroid)) AS nc
+      |      FROM embeddings e JOIN carr c USING (label))
+      |SELECT label, count(*) AS n_members,
+      |  round(max(nc), 6) AS centroid_norm,
+      |  round(avg(dot / (nv * nc)), 6) AS mean_cos,
+      |  round(min(dot / (nv * nc)), 6) AS min_cos
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
 
   // -- embedding near-dup pairs: exact quadratic baseline. The synthetic
   //    embeddings top out around cosine 0.51, so 0.45 is the "near" band.
@@ -898,6 +988,8 @@ object OpsLlm extends Suite {
     "llm_fingerprint_groups" -> fingerprintGroups,
     "llm_pipeline_curate" -> pipelineCurate,
     "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_incremental" -> dedupIncremental,
+    "llm_dedup_edit" -> dedupEdit,
     "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_dedup_prefix" -> dedupPrefix,
@@ -914,6 +1006,7 @@ object OpsLlm extends Suite {
     "llm_embed_topk" -> embedTopk,
     "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_exact_pairs" -> embedExactPairs,
+    "llm_embed_label_purity" -> embedLabelPurity,
     "llm_semantic_dedup" -> semanticDedup,
     "llm_semantic_dedup_ivf" -> semanticDedupIvf,
     "llm_knn_graph" -> knnGraph,
@@ -933,6 +1026,8 @@ object OpsLlm extends Suite {
     "llm_fingerprint_groups" -> fingerprintGroupsSql,
     "llm_pipeline_curate" -> pipelineCurateSql,
     "llm_dedup_exact" -> dedupExactSql,
+    "llm_dedup_incremental" -> dedupIncrementalSql,
+    "llm_dedup_edit" -> dedupEditSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,
     "llm_dedup_prefix" -> dedupNgramSql
@@ -950,6 +1045,7 @@ object OpsLlm extends Suite {
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
+    "llm_embed_label_purity" -> embedLabelPuritySql,
     "llm_semantic_dedup" -> semanticDedupSql,
     "llm_knn_graph" -> knnGraphSql,
     "llm_knn_density" -> knnDensitySql,

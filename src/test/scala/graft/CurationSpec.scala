@@ -291,4 +291,34 @@ class CurationSpec extends SparkSpec {
     assert(rows(2).getDouble(1) == 63.5)
     assert(rows(2).getSeq[Int](2) == Seq(127))
   }
+
+  test("gopherFilters: each rule rejects its crafted violation") {
+    val docs = Seq(
+      (0L, "the morning light rises slowly across the quiet valley floor " +
+           "and it was that nice for everyone watching"),   // clean
+      (1L, "tiny doc"),                                     // too short
+      (2L, "# # # # # # # # # # the and of it was here now then so ok"),
+      (3L, "buy cheap pills buy cheap pills buy cheap pills " +
+           "buy cheap pills"),                              // no stopwords
+      (4L, "extraordinarily sophisticated implementations demonstrating " +
+           "counterproductive hyperspecialization telecommunications " +
+           "interdisciplinary characterizations incomprehensibilities " +
+           "institutionalization")                          // words too long
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilters(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def flags(i: Int): Seq[Int] = Seq("g_words", "g_mean_len", "g_alpha",
+      "g_symbol", "g_stop").map(c => out(i).getAs[Int](c))
+    assert(out(0).getAs[Int]("keep") == 1 && flags(0) == Seq(1, 1, 1, 1, 1))
+    assert(out(1).getAs[Int]("g_words") == 0)
+    assert(out(2).getAs[Int]("g_symbol") == 0)   // 10 of 21 words are '#'
+    assert(out(2).getAs[Int]("g_alpha") == 0)
+    assert(out(3).getAs[Int]("g_stop") == 0)
+    assert(out(4).getAs[Int]("g_mean_len") == 0)
+    assert(out.drop(1).forall(_.getAs[Int]("keep") == 0))
+    // signals are exact integer ratios
+    assert(out(0).getAs[Int]("n_words") == 18)
+    assert(out(0).getAs[Double]("alpha_frac") == 1.0)
+    assert(out(0).getAs[Double]("symbol_ratio") == 0.0)
+  }
 }

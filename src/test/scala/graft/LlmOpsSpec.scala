@@ -490,4 +490,63 @@ class LlmOpsSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(blockedKept == exactKept)
   }
+
+  test("incrementalExact dedups within the batch, then against seen keys") {
+    val batch = Seq((10L, "a"), (11L, "a"), (12L, "b"), (13L, "c"))
+      .toDF("doc_id", "k")
+    val seen = Seq(Tuple1("b"), Tuple1("b")).toDF("k")
+    val out = Dedup.incrementalExact(batch, seen, Seq("k"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 11 loses within-batch to 10; 12 is already in the seen corpus
+    assert(out.toSeq == Seq(10L, 13L))
+    // an empty seen set degenerates to plain within-batch exact dedup
+    val cold = Dedup.incrementalExact(batch, seen.limit(0), Seq("k"),
+      "doc_id").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(cold.toSeq == Seq(10L, 12L, 13L))
+  }
+
+  test("editDistancePairs verifies planted near-identical docs by " +
+    "levenshtein and excludes unrelated ones") {
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+        n = 3, maxRel = 0.3, minCommon = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+    // 0=1 exactly (distance 0); 2 is one word off both (quick -> sly,
+    // distance 5); everything else shares < 5 shingles with anything
+    assert(out.map(p => (p._1, p._2)).toSeq ==
+      Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(out.head._3 == 0)
+    assert(out.forall(_._3 <= 5))
+    // character-level semantics: scrambled word order blows the edit
+    // budget even though the shingle-free Jaccard over WORDS would be 1.0
+    val scrambled = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (21L, "upsilon tau sigma rho pi omicron xi nu mu lambda kappa " +
+            "iota theta eta zeta epsilon delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val sc = Dedup.editDistancePairs(scrambled, "doc_id", "text",
+      n = 1, maxRel = 0.3, minCommon = 5).count()
+    assert(sc == 0L)
+  }
+
+  test("labelCentroidStats: hand-computable centroids, norms, purity") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),
+      (2L, Seq(3f, 4f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.labelCentroidStats(emb, "vec_id", "embedding",
+        "label")
+      .orderBy("label").collect()
+    // label 0: centroid (0.5, 0.5), norm 1/sqrt(2); both members at 45°
+    assert(rows(0).getInt(0) == 0 && rows(0).getLong(1) == 2L)
+    assert(rows(0).getDouble(2) == 0.707107)
+    assert(rows(0).getDouble(3) == 0.707107) // mean_cos
+    assert(rows(0).getDouble(4) == 0.707107) // min_cos
+    // label 1: a singleton IS its centroid — norm 5, cosine exactly 1
+    assert(rows(1).getInt(0) == 1 && rows(1).getLong(1) == 1L)
+    assert(rows(1).getDouble(2) == 5.0)
+    assert(rows(1).getDouble(3) == 1.0)
+    assert(rows(1).getDouble(4) == 1.0)
+  }
 }
