@@ -136,12 +136,15 @@ object OpsCuration extends Suite {
   //    cutoffs) — five composed stages, hash-checked end to end. ---------
   private val pipelineV2: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val docs = t.documents.select(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"))
-    val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+    // pass the UNPROJECTED table to the pair generator: shingling reads
+    // only (doc_id, text), and handing every caller the same analyzed
+    // child plan is what lets persistScoped share one shingle/prefix
+    // cache across queries (a projected copy would be a different plan —
+    // the cache would rebuild AND evict the shared entry)
+    val pairs = Dedup.prefixJaccardPairs(t.documents, "doc_id", "text",
       n = 3, threshold = 0.8)
     val surv = Dedup.survivors(
-      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      t.documents.select(col("doc_id"), col("lang"), col("n_chars")),
       pairs, "doc_id")
     val bal = Curation.balanceMix(surv, "lang", col("doc_id"),
       mixTargets.toMap, salt)

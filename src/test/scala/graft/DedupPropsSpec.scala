@@ -104,4 +104,92 @@ class DedupPropsSpec extends SparkSpec {
         s"no shared fingerprint for run '$run' in '$d1' / '$d2'")
     }
   }
+
+  test("containmentPairs equals the in-memory directed reference") {
+    cases(genCorpus, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.9)) {
+        val got = Dedup.containmentPairs(df, "doc_id", "text", 3, t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sets = docs.map(shingleSet(_, 3))
+        val want = (for {
+          a <- docs.indices; b <- docs.indices if a != b
+          sa = sets(a); sb = sets(b)
+          if sa.nonEmpty
+          c = (sa & sb).size.toDouble / sa.size
+          if c >= t
+        } yield (a.toLong, b.toLong)).toSet
+        assert(got == want, s"threshold=$t docs=$docs")
+      }
+    }
+  }
+
+  test("noveltyScores equals the in-memory df=1 fraction") {
+    cases(genCorpus, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.noveltyScores(df, "doc_id", "text", 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val sets = docs.map(shingleSet(_, 3))
+      val dfreq = sets.flatten.groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+      val want = sets.zipWithIndex.collect {
+        case (s, i) if s.nonEmpty =>
+          i.toLong -> (s.size.toLong, s.count(dfreq(_) == 1).toLong)
+      }.toMap
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
+  test("editDistancePairs (minCommon=1) equals brute-force levenshtein " +
+    "over shingle-sharing pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    cases(genCorpus, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (rel <- Seq(0.2, 0.5)) {
+        val got = Dedup.editDistancePairs(df, "doc_id", "text", 3, rel,
+            minCommon = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        val sets = docs.map(shingleSet(_, 3))
+        val want = (for {
+          a <- docs.indices; b <- docs.indices if a < b
+          if (sets(a) & sets(b)).nonEmpty
+          e = lev(docs(a), docs(b))
+          if e <= rel * math.max(docs(a).length, docs(b).length)
+        } yield (a.toLong, b.toLong, e)).toSet
+        assert(got == want, s"rel=$rel docs=$docs")
+      }
+    }
+  }
+
+  test("incrementalExact == within-batch exact minus seen keys") {
+    val genSplit: Gen[(List[String], List[String])] =
+      for { a <- genCorpus; b <- genCorpus } yield (a, b)
+    cases(genSplit, 6).foreach { case (seenDocs, batchDocs) =>
+      val seen = seenDocs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = batchDocs.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val got = Dedup.incrementalExact(batch, seen, Seq("text"), "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val seenSet = seenDocs.toSet
+      val want = batchDocs.zipWithIndex
+        .groupBy(_._1).values
+        .map(g => g.map(_._2).min + 1000L -> g.head._1)
+        .collect { case (id, t) if !seenSet(t) => id }
+        .toSet
+      assert(got == want, s"seen=$seenDocs batch=$batchDocs")
+    }
+  }
 }
