@@ -31,7 +31,13 @@ object Bench {
       // dedup, mixture balancing, epoch shuffle, semantic dedup
       "llm_dedup_prefix", "llm_winnow", "llm_dedup_spans",
       "llm_balance_mix", "llm_epoch_shuffle", "llm_semantic_dedup_ivf",
-      "llm_lm_score", "llm_lm_bigram", "llm_pipeline_curate_v2")
+      "llm_lm_score", "llm_lm_bigram", "llm_pipeline_curate_v2",
+      // round-3 additions: asymmetric/weighted lexical similarity, corpus
+      // novelty, edit-distance verify, the Gopher battery, incremental
+      // dedup, and label-centroid purity
+      "llm_dedup_containment", "llm_novelty", "llm_tfidf_pairs",
+      "llm_dedup_edit", "llm_gopher_filters", "llm_dedup_incremental",
+      "llm_embed_label_purity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -19,7 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val capSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Scoped persist: each operator keys its reused intermediate; a repeated
     * call (new corpus, bench re-run) releases the previous call's blocks
@@ -307,10 +306,11 @@ object Dedup {
     * distinct shingles, the max doc-frequency, and how many shingles a cap
     * of `cap` would drop — the explicit tool for choosing/validating
     * `maxDocFreq` on a corpus. One cheap aggregation pass; run it when
-    * sizing a cap rather than trusting defaults blindly. (The inline
-    * observe() metrics on the capped path surface only with AQE disabled:
-    * AQE's stage cloning detaches CollectMetrics accumulators in this
-    * Spark version, so this method is the reliable visibility path.) */
+    * sizing a cap rather than trusting defaults blindly. This is THE
+    * truncation-visibility path: inline observe() metrics were dropped
+    * from the capped operators (AQE detaches CollectMetrics accumulators,
+    * and the shared posting-list cache would hide them from the consuming
+    * query) in favor of canonical shareable plans. */
   def shingleCapStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, cap: Int = 500): DataFrame =
     shingles(df, idCol, textCol, n)
@@ -333,9 +333,8 @@ object Dedup {
     * targets. Near-dup pairs above a high threshold share many rare
     * shingles, so a generous cap leaves results unchanged on natural text
     * (verified against the exact oracle in the gated query); pass `None` to
-    * opt into the exact-but-unbounded computation. Dropped-shingle counts
-    * are published as observed metrics (`graft_shingle_cap`; AQE-off runs —
-    * see shingleCapStats for the always-available diagnostic). */
+    * opt into the exact-but-unbounded computation. Size the cap with
+    * [[shingleCapStats]], the one-pass truncation diagnostic. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Int] = Some(500)): DataFrame = {
@@ -360,35 +359,37 @@ object Dedup {
     * Doc frequency is computed FIRST (a count-only aggregate — fixed-size
     * buffers, full map-side combine) and shingles outside [2, cap] are
     * dropped by semi-join BEFORE any posting list materializes, so no agg
-    * buffer ever holds an unbounded hot-shingle list. The number of
-    * cap-dropped shingles and the observed max doc-frequency are published
-    * as observed metrics under `graft_shingle_cap` (visible to
-    * QueryExecutionListeners / the Spark UI), making truncation explicit
-    * rather than silent. */
+    * buffer ever holds an unbounded hot-shingle list. Truncation is never
+    * silent: [[shingleCapStats]] reports the cap's effect on a corpus in
+    * one cheap pass. (An earlier revision also attached inline observe()
+    * metrics here; they were dropped deliberately — AQE stage cloning
+    * detaches CollectMetrics accumulators, and the cache below would hide
+    * them from the consuming query's execution anyway — in exchange for a
+    * canonical, byte-identical plan that every caller can share.) */
   private def commonCounts(sh: DataFrame, idCol: String,
                            maxDocFreq: Option[Int]): DataFrame = {
     val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val observed = maxDocFreq match {
-      // unique suffix: two capped dedups composed into one query would
-      // otherwise collide on the CollectMetrics name
-      case Some(cap) => docFreq.observe(
-        s"graft_shingle_cap_${capSeq.incrementAndGet()}",
-        sum(when(col("df") > cap, 1L).otherwise(0L)).as("dropped_shingles"),
-        max(col("df")).as("max_doc_freq"))
-      case None => docFreq
-    }
-    val keep = observed
+    val keep = docFreq
       .filter(col("df") >= 2 &&
         maxDocFreq.map(cap => col("df") <= cap).getOrElse(lit(true)))
       .select(col("sh"))
-    sh.join(keep, Seq("sh"), "left_semi")
-      .groupBy(col("sh"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
+    // Persisted under an operator-agnostic key: Jaccard, containment, and
+    // edit-distance dedup all derive from this SAME posting-list pair
+    // aggregate (identical plan when called over the same shingle set and
+    // cap), and it is the dominant stage of each — one cached copy serves
+    // every lexical-pair operator in the session. Bounded: one row per
+    // candidate pair that shares ≥ 1 informative (df ≤ cap) shingle, three
+    // fixed-width columns; MEMORY_AND_DISK, so an oversized pair set
+    // spills instead of evicting or OOMing.
+    persistScoped(s"common:$idCol:$maxDocFreq",
+      sh.join(keep, Seq("sh"), "left_semi")
+        .groupBy(col("sh"))
+        .agg(collect_list(col(idCol)).as("ids"))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common")))
   }
 
   // --- containment (asymmetric near-dup) ----------------------------------

@@ -165,29 +165,22 @@ class LlmOpsSpec extends SparkSpec {
       "a perfectly unique sentence with no repeats anywhere at all")
   }
 
-  test("shingle cap truncation is visible: stats diagnostic + observe") {
-    // the always-available diagnostic for sizing a cap
+  test("shingle cap truncation is visible via the stats diagnostic, and " +
+    "the cap actually drops hot-shingle pairs") {
+    // the visibility path for sizing a cap (inline observe() metrics were
+    // dropped: AQE detaches CollectMetrics, and the shared posting-list
+    // cache would hide them from the consuming query)
     val stats = Dedup.shingleCapStats(docs, "doc_id", "text", n = 3, cap = 1)
       .collect().head
     assert(stats.getAs[Long]("distinct_shingles") > 0)
     assert(stats.getAs[Long]("max_doc_freq") >= 2) // docs 0/1 are identical
     assert(stats.getAs[Long]("shingles_over_cap") > 0)
-    // the inline observed metrics flow when AQE is off (AQE stage cloning
-    // detaches CollectMetrics accumulators — upstream limitation)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = Some(1))
-      pairs.collect()
-      val capRow = pairs.queryExecution.observedMetrics.collectFirst {
-        case (name, row) if name.startsWith("graft_shingle_cap") => row
-      }
-      assert(capRow.isDefined,
-        s"no cap metric in ${pairs.queryExecution.observedMetrics.keys}")
-      assert(capRow.get.getAs[Long]("dropped_shingles") > 0)
-      assert(capRow.get.getAs[Long]("max_doc_freq") >= 2)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // and the cap=1 run really does lose the pairs the diagnostic predicts
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = Some(1)).count()
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = None).count()
+    assert(capped < uncapped)
   }
 
   test("minhash LSH recalls the exact jaccard pairs on planted dups") {
