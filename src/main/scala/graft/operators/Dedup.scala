@@ -463,8 +463,15 @@ object Dedup {
       .join(df.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= bound)
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("edit_dist") <= bound)
+      // banded kernel: the per-row integer bound rides in as levenshtein's
+      // threshold argument, turning the O(len²) DP into O(bound·len) with
+      // early abort (-1 when exceeded — exactly the rows the predicate
+      // drops anyway). Equivalent to the unbounded form because
+      // edit ≤ bound ⟺ edit ≤ ⌊bound⌋ for integer edit distances.
+      .withColumn("__k", floor(bound).cast("int"))
+      .withColumn("edit_dist",
+        expr("levenshtein(__ta, __tb, __k)"))
+      .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 

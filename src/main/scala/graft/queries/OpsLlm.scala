@@ -209,6 +209,72 @@ object OpsLlm extends Suite {
     """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
+  // -- corpus health report: the dashboard a curation run emits — per
+  //    predicted language: volume (docs, tokens), exact-dup rate from the
+  //    fingerprint cardinality, mean quality, and the median token count.
+  //    ONE scan, one grouped aggregation (countDistinct adds the standard
+  //    two-phase expand) — the signals compose into a single map-side
+  //    expression battery, which is the point of the query. --------------
+  private val corpusReport: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = col("text")
+    t.documents.select(
+        TA.langId(c).as("lang_pred"),
+        TA.qualityScore(c).as("quality"),
+        TA.tokenCount(c).as("n_tok"),
+        TA.fingerprint(c).as("fp"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tok")).cast("long").as("tokens"),
+        countDistinct(col("fp")).as("distinct_fps"),
+        round(avg(col("quality")), 6).as("mean_quality"),
+        round(percentile(col("n_tok"), lit(0.5)), 6).as("p50_tok"))
+      .withColumn("dup_rate", round(lit(1.0) -
+        col("distinct_fps").cast("double") / col("docs"), 6))
+      .orderBy(col("lang_pred"))
+  }
+  private val corpusReportSql = {
+    val m = TA.langMarkers.toMap
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_tok,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS lang_pred,
+       |    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |      AS quality,
+       |    fp
+       |  FROM (SELECT doc_id, text,
+       |    ${scoreSql(m("en"))} AS s_en,
+       |    ${scoreSql(m("de"))} AS s_de,
+       |    ${scoreSql(m("fr"))} AS s_fr,
+       |    ${scoreSql(m("es"))} AS s_es,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+       |      AS DOUBLE) / greatest(length(text), 1) AS punct_r,
+       |    CAST(len(regexp_extract_all(lower(text), '$enMarkers')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS stop_r,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS wlen,
+       |    md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ',
+       |      'g'))) AS fp
+       |  FROM documents))
+       |SELECT lang_pred, count(*) AS docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+       |  count(DISTINCT fp) AS distinct_fps,
+       |  round(avg(quality), 6) AS mean_quality,
+       |  round(quantile_cont(n_tok, 0.5), 6) AS p50_tok,
+       |  round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+       |FROM scored GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
   // -- incremental dedup (the daily-ingest shape): new batch (src10-19,
   //    i.e. source names longer than 4 chars) deduped within itself, then
   //    anti-joined against the fingerprints the seen corpus (src0-9)
@@ -989,6 +1055,7 @@ object OpsLlm extends Suite {
     "llm_pipeline_curate" -> pipelineCurate,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_incremental" -> dedupIncremental,
+    "llm_corpus_report" -> corpusReport,
     "llm_dedup_edit" -> dedupEdit,
     "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
@@ -1027,6 +1094,7 @@ object OpsLlm extends Suite {
     "llm_pipeline_curate" -> pipelineCurateSql,
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_incremental" -> dedupIncrementalSql,
+    "llm_corpus_report" -> corpusReportSql,
     "llm_dedup_edit" -> dedupEditSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,
