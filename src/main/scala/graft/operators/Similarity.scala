@@ -109,11 +109,17 @@ object Similarity {
                threshold: Double, nPlanes: Int = 12,
                tables: Int = 4): DataFrame = {
     val dim = dimOf(corpus, vecCol)
-    val withSketch = (0 until tables).map { t =>
-      corpus.select(col(idCol),
-        lit(t).as("tbl"),
-        signBits(col(vecCol), dim, nPlanes, seed = 1000L + t).as("sketch"))
-    }.reduce(_ unionAll _)
+    // persisted: the sketch relation feeds BOTH sides of the bucket
+    // self-join — uncached, the tables×nPlanes hyperplane projections
+    // would be computed twice per vector (once per join side). Bounded:
+    // (id, tbl, 8-byte sketch) per vector per table.
+    val withSketch = graft.operators.Dedup.reuse(
+      s"ann:$idCol:$vecCol:$nPlanes:$tables",
+      (0 until tables).map { t =>
+        corpus.select(col(idCol),
+          lit(t).as("tbl"),
+          signBits(col(vecCol), dim, nPlanes, seed = 1000L + t).as("sketch"))
+      }.reduce(_ unionAll _))
     val a = withSketch.select(col("tbl"), col("sketch"),
       col(idCol).as("id_a"))
     val b = withSketch.select(col("tbl"), col("sketch"),

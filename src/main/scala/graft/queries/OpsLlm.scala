@@ -979,6 +979,44 @@ object OpsLlm extends Suite {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
 
+  // -- vocabulary coverage: the fraction of all token OCCURRENCES a top-K
+  //    frequency vocabulary covers (1 - coverage = the OOV rate a
+  //    K-entry tokenizer would pay) — the sizing metric run before
+  //    committing to a vocab. The term-frequency table is computed once
+  //    (scoped reuse: both the top-K sum and the corpus totals read it);
+  //    the top-K boundary is total-ordered by (freq desc, token). --------
+  private val vocabCoverage: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val tf = Dedup.reuse("vocab:tf:documents", t.documents
+      .select(explode_outer(split(lower(trim(col("text"))), "\\s+"))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq")))
+    val top = tf.orderBy(col("freq").desc, col("token")).limit(50)
+      .agg(sum(col("freq")).as("covered"),
+        count(lit(1)).as("vocab_size"))
+    val tot = tf.agg(sum(col("freq")).as("total"),
+      count(lit(1)).as("distinct_tokens"))
+    tot.crossJoin(broadcast(top))
+      .select(col("vocab_size"), col("distinct_tokens"), col("total"),
+        col("covered"),
+        round(col("covered") / col("total"), 6).as("coverage"))
+  }
+  private val vocabCoverageSql =
+    """WITH tf AS (SELECT token, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |      AS token FROM documents)
+      |  WHERE length(token) > 0 GROUP BY token),
+      |top AS (SELECT CAST(sum(freq) AS BIGINT) AS covered,
+      |          count(*) AS vocab_size
+      |        FROM (SELECT freq, token FROM tf
+      |              ORDER BY freq DESC, token LIMIT 50)),
+      |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total,
+      |          count(*) AS distinct_tokens FROM tf)
+      |SELECT vocab_size, distinct_tokens, total, covered,
+      |  round(covered * 1.0 / total, 6) AS coverage
+      |FROM tot, top""".stripMargin
+
   // -- token-budget sampling: highest-quality documents first until the
   //    cumulative token budget is spent — the corpus-sizing step of a
   //    training run. The running total uses Scale.prefixSum (bucketed
@@ -1056,6 +1094,7 @@ object OpsLlm extends Suite {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_incremental" -> dedupIncremental,
     "llm_corpus_report" -> corpusReport,
+    "llm_vocab_coverage" -> vocabCoverage,
     "llm_dedup_edit" -> dedupEdit,
     "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
@@ -1095,6 +1134,7 @@ object OpsLlm extends Suite {
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_incremental" -> dedupIncrementalSql,
     "llm_corpus_report" -> corpusReportSql,
+    "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_dedup_edit" -> dedupEditSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,

@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
                                      // under dots + both norm joins, so the
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
+    "llm_vocab_coverage" -> 1,       // 1-row top-K sum × 1-row totals
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
