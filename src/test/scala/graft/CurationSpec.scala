@@ -321,4 +321,15 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getAs[Double]("alpha_frac") == 1.0)
     assert(out(0).getAs[Double]("symbol_ratio") == 0.0)
   }
+
+  test("gopherFilters is a pure map-side scan: no exchange, empty-safe") {
+    val docs = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+    val plan = Curation.gopherFilters(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val empty = Curation.gopherFilters(docs.limit(0), col("doc_id"),
+      col("text"))
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("keep"))
+  }
 }

@@ -523,6 +523,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(sc == 0L)
   }
 
+  test("editDistancePairs: empty when nothing shares a shingle; " +
+    "incrementalExact: empty batch stays empty") {
+    val disjoint = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(disjoint, "doc_id", "text",
+      n = 3, maxRel = 0.9, minCommon = 1).count() == 0L)
+    val seen = Seq(Tuple1("x")).toDF("k")
+    assert(Dedup.incrementalExact(
+      Seq((1L, "x")).toDF("doc_id", "k").limit(0), seen,
+      Seq("k"), "doc_id").count() == 0L)
+  }
+
+  test("labelCentroidStats broadcasts the centroids — the corpus is " +
+    "never shuffled by label") {
+    val emb = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.labelCentroidStats(emb, "vec_id", "embedding",
+      "label").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge crept in:\n$plan")
+  }
+
   test("labelCentroidStats: hand-computable centroids, norms, purity") {
     val emb = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),
