@@ -143,6 +143,29 @@ object OpsEvents extends Suite {
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  // -- windowed event dedup (log-dedup shape): keep the FIRST event per
+  //    (user, type) within each 5-minute bin — collapses client retries /
+  //    at-least-once delivery dups. Dedup.exact over the bin key: map-side
+  //    combining groupBy + semi-join, no per-user window sort. ------------
+  private val dedupWindow: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val binned = t.events
+      .withColumn("bin", Fx.date_bin("5 MINUTES", col("ts"),
+        lit("2024-01-01 00:00:00").cast("timestamp")))
+    graft.operators.Dedup.exact(binned,
+        Seq("user_id", "event_type", "bin"), "event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+  private val dedupWindowSql =
+    """SELECT min(event_id) AS event_id, user_id, event_type
+      |FROM (SELECT event_id, user_id, event_type,
+      |  (epoch_us(CAST(ts AS TIMESTAMP))
+      |   - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 300000000 AS bin
+      |  FROM events)
+      |GROUP BY user_id, event_type, bin
+      |ORDER BY event_id""".stripMargin
+
   // -- cohort retention: users bucketed by first-seen day × activity day.
   //    The first-seen side scales with |users|, so its join strategy is
   //    AQE's choice (broadcast at small SF, shuffle at scale); countDistinct
@@ -201,6 +224,7 @@ object OpsEvents extends Suite {
     "events_funnel" -> funnel,
     "events_transitions" -> transitions,
     "events_tumbling" -> tumbling,
+    "events_dedup_window" -> dedupWindow,
     "events_cohort" -> cohort)
 
   def oracle: Map[String, String] = Map(
@@ -209,5 +233,6 @@ object OpsEvents extends Suite {
     "events_funnel" -> funnelSql,
     "events_transitions" -> transitionsSql,
     "events_tumbling" -> tumblingSql,
+    "events_dedup_window" -> dedupWindowSql,
     "events_cohort" -> cohortSql)
 }

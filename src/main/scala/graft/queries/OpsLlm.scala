@@ -1017,6 +1017,35 @@ object OpsLlm extends Suite {
       |  round(covered * 1.0 / total, 6) AS coverage
       |FROM tot, top""".stripMargin
 
+  // -- mergeable distinct-count sketches: per-source DataSketches-HLL
+  //    sketches of the content fingerprints, UNIONed into a corpus-wide
+  //    distinct estimate — the incremental-dedup STATE shape at 100 TB
+  //    (yesterday's sketches merge with today's without rescanning
+  //    yesterday). Gated with the op_agg_approx_distinct pattern: the
+  //    query itself asserts |estimate − exact|/exact ≤ 5% and emits the
+  //    boolean, so the driver's row compare carries the assertion; the
+  //    hashed payload is the exact cardinality. ---------------------------
+  private val distinctSketch: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val fp = t.documents.select(col("source"),
+      TA.fingerprint(col("text")).as("fp"))
+    val perSource = fp.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(fp)").as("sk"))
+    val merged = perSource.agg(count(lit(1)).as("n_sources"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = fp.agg(countDistinct(col("fp")).as("exact_distinct"))
+    exact.crossJoin(broadcast(merged))
+      .select(col("n_sources"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) /
+          col("exact_distinct") <= 0.05).as("est_ok"))
+  }
+  private val distinctSketchSql =
+    """SELECT count(DISTINCT source) AS n_sources,
+      |  count(DISTINCT md5(trim(regexp_replace(lower(text),
+      |    '[^\p{L}\p{N}]+', ' ', 'g')))) AS exact_distinct,
+      |  true AS est_ok
+      |FROM documents""".stripMargin
+
   // -- token-budget sampling: highest-quality documents first until the
   //    cumulative token budget is spent — the corpus-sizing step of a
   //    training run. The running total uses Scale.prefixSum (bucketed
@@ -1095,6 +1124,7 @@ object OpsLlm extends Suite {
     "llm_dedup_incremental" -> dedupIncremental,
     "llm_corpus_report" -> corpusReport,
     "llm_vocab_coverage" -> vocabCoverage,
+    "llm_distinct_sketch" -> distinctSketch,
     "llm_dedup_edit" -> dedupEdit,
     "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
@@ -1135,6 +1165,7 @@ object OpsLlm extends Suite {
     "llm_dedup_incremental" -> dedupIncrementalSql,
     "llm_corpus_report" -> corpusReportSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
+    "llm_distinct_sketch" -> distinctSketchSql,
     "llm_dedup_edit" -> dedupEditSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,

@@ -31,6 +31,7 @@ class PlanGuardSpec extends SparkSpec {
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
     "llm_vocab_coverage" -> 1,       // 1-row top-K sum × 1-row totals
+    "llm_distinct_sketch" -> 1,      // 1-row merged sketch × 1-row exact
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
