@@ -128,6 +128,51 @@ object OpsCuration extends Suite {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // -- split leakage audit: near-duplicate CONTENT spanning the
+  //    train/eval boundary — the id-keyed split sends equal-or-similar
+  //    content with different ids to different splits, silently leaking
+  //    training data into eval. Gram-level (token 5-grams shared between
+  //    a train doc and any val/test doc), because real leakage is
+  //    near-dup, not byte-identical: the exact-fingerprint version of
+  //    this audit returns zero rows on this corpus while the gram audit
+  //    finds the planted near-dups. (The fix is dedup-BEFORE-split; this
+  //    is the audit that catches a pipeline wired the other way.) --------
+  private val splitLeakage: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val labeled = Curation.datasetSplit(
+      t.documents.select(col("doc_id"), col("text")),
+      col("doc_id"), splitWeights, salt)
+    Curation.decontaminate(
+        labeled.filter(col("split") === "train"),
+        labeled.filter(col("split") =!= "train"),
+        "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"))
+  }
+  private val splitLeakageSql = {
+    val cuts = Curation.splitCuts(splitWeights)
+    val cases = splitWeights.zipWithIndex
+      .map { case ((name, _), i) =>
+        s"WHEN b >= ${cuts(i)} AND b < ${cuts(i + 1)} THEN '$name'" }
+      .mkString(" ")
+    s"""WITH labeled AS (SELECT doc_id, text,
+      |    CASE $cases ELSE '${splitWeights.last._1}' END AS split
+      |  FROM (SELECT doc_id, text,
+      |          CAST(('0x' || substr(md5('$salt'
+      |            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+      |        FROM documents)),
+      |d AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+')
+      |        AS toks FROM labeled),
+      |sh AS (SELECT doc_id, split,
+      |    unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS sh
+      |  FROM d),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE split <> 'train')
+      |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+      |FROM sh s JOIN ev e ON s.sh = e.sh
+      |WHERE s.split = 'train'
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+  }
+
   // -- end-to-end curation v2, composed ENTIRELY from this round's
   //    operators: prefix-filtered near-dup pairs -> connected-components
   //    survivors -> mixture balancing -> train/val/test split -> corpus
@@ -625,6 +670,7 @@ object OpsCuration extends Suite {
     "llm_lm_score" -> lmScore,
     "llm_lm_bigram" -> lmBigram,
     "llm_split" -> datasetSplit,
+    "llm_split_leakage" -> splitLeakage,
     "llm_pipeline_curate_v2" -> pipelineV2,
     "op_agg_percentile_approx" -> percentileApprox,
     "llm_pii_redact" -> piiRedact,
@@ -646,6 +692,7 @@ object OpsCuration extends Suite {
     "llm_lm_score" -> lmScoreSql,
     "llm_lm_bigram" -> lmBigramSql,
     "llm_split" -> datasetSplitSql,
+    "llm_split_leakage" -> splitLeakageSql,
     "llm_pipeline_curate_v2" -> pipelineV2Sql,
     "op_agg_percentile_approx" -> percentileApproxSql,
     "llm_pii_redact" -> piiRedactSql,
