@@ -38,7 +38,8 @@ object Bench {
       "llm_dedup_containment", "llm_novelty", "llm_tfidf_pairs",
       "llm_dedup_edit", "llm_gopher_filters", "llm_dedup_incremental",
       "llm_embed_label_purity", "llm_corpus_report", "llm_vocab_coverage",
-      "llm_distinct_sketch", "events_dedup_window", "llm_split_leakage")
+      "llm_distinct_sketch", "events_dedup_window", "llm_split_leakage",
+      "llm_dedup_survivors_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -878,6 +878,29 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup survivors keeping the BEST member of each duplicate cluster
+    * instead of the smallest id: clusters come from [[clusterLabels]];
+    * within each cluster the survivor is the argmax of `better` (ties
+    * broken by ascending `idCol` — total and deterministic). Curation
+    * pipelines keep the longest / highest-quality near-duplicate, not the
+    * earliest-crawled one. Documents in no pair pass through untouched.
+    *
+    * Scale design: selection runs through the GroupedTopK bounded-heap
+    * operator with k=1 per cluster label — shuffle bounded at one row per
+    * mapper per cluster, no per-cluster sort; the label join is id-keyed
+    * against the (id, label) frame the CC loop already checkpointed. */
+  def survivorsKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                        better: Column): DataFrame = {
+    val labels = clusterLabels(pairs).withColumnRenamed("id", idCol)
+    val labeled = df.join(labels, Seq(idCol), "left")
+    val singles = labeled.filter(col("label").isNull).drop("label")
+    val best = graft.plans.GroupedTopK(
+        labeled.filter(col("label").isNotNull),
+        Seq("label"), Seq(better.desc, col(idCol).asc), 1)
+      .drop("label")
+    singles.unionByName(best)
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

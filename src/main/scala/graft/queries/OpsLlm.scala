@@ -665,6 +665,54 @@ object OpsLlm extends Suite {
       |WHERE doc_id NOT IN (SELECT id FROM minlab WHERE id <> label)
       |ORDER BY doc_id""".stripMargin
 
+  // -- near-dup survivors, keep-BEST variant: one doc per duplicate
+  //    cluster, chosen by longest text (ties → smallest id) through the
+  //    GroupedTopK k=1 bounded-heap path. Oracle = the same RECURSIVE
+  //    transitive closure as llm_dedup_survivors plus an argmax per
+  //    component — two independent algorithms agreeing on both the
+  //    clustering AND the selection. --------------------------------------
+  private val dedupSurvivorsBest: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
+      n = 3, threshold = 0.9)
+    Dedup.survivorsKeepBest(
+        t.documents.select(col("doc_id"), col("n_chars")),
+        pairs, "doc_id", col("n_chars"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+  private val dedupSurvivorsBestSql =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+      |           AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |jpairs AS (SELECT id_a, id_b FROM cpairs
+      |           JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      |           WHERE c * 1.0 / (x.n + y.n - c) >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+      |          UNION SELECT id_b, id_a FROM jpairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |minlab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |           FROM reach GROUP BY src),
+      |ranked AS (SELECT m.id, row_number() OVER (PARTITION BY m.label
+      |             ORDER BY d.n_chars DESC, m.id) AS rn
+      |           FROM minlab m JOIN documents d ON m.id = d.doc_id)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM minlab)
+      |UNION ALL
+      |SELECT id AS doc_id FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   // -- SimHash near-dup pairs (rows-only; spec-verified) --------------------
   private val dedupSimhash: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -1138,6 +1186,7 @@ object OpsLlm extends Suite {
     "llm_tfidf_pairs" -> tfidfPairs,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
+    "llm_dedup_survivors_best" -> dedupSurvivorsBest,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_embed_topk" -> embedTopk,
     "llm_embed_ivf_topk" -> embedIvfTopk,
@@ -1181,6 +1230,7 @@ object OpsLlm extends Suite {
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_dedup_survivors" -> dedupSurvivorsSql,
+    "llm_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,

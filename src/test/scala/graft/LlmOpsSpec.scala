@@ -484,6 +484,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(blockedKept == exactKept)
   }
 
+  test("survivorsKeepBest keeps the argmax per cluster, singletons pass") {
+    // docs 0,1,2 cluster (exact + near dup); 3..6 singleton-ish
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val withLen = docs.withColumn("len", length(col("text")))
+    val kept = Dedup.survivorsKeepBest(withLen, pairs, "doc_id", col("len"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {0,1,2}: 0 and 1 are identical (length ties -> min id 0
+    // wins over 1); doc 2 is SHORTER ("sly" for "quick") — so the longest
+    // member is doc 0
+    assert(kept.intersect(Set(0L, 1L, 2L)) == Set(0L))
+    // min-id survivors agree here by accident of the tie — distinguish
+    // with a better column that inverts the choice: prefer doc 2
+    val biased = docs.withColumn("pref",
+      when(col("doc_id") === 2, 100).otherwise(0))
+    val kept2 = Dedup.survivorsKeepBest(biased, pairs, "doc_id",
+      col("pref")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.intersect(Set(0L, 1L, 2L)) == Set(2L))
+    // everything outside the cluster is untouched either way
+    assert(kept.contains(3L) && kept2.contains(3L))
+  }
+
   test("incrementalExact dedups within the batch, then against seen keys") {
     val batch = Seq((10L, "a"), (11L, "a"), (12L, "b"), (13L, "c"))
       .toDF("doc_id", "k")
