@@ -85,6 +85,21 @@ object Bench {
     // (~±0.4s) is a large fraction of such readings, and one extra cheap
     // pass makes sub-0.5s round-over-round deltas interpretable.
     val basePasses = 2
+
+    // Contention sentinel: a fixed cheap query (tpch_q6 — one scan + one
+    // agg, stable plan) timed immediately before and after the measured
+    // set. On a quiet box the two readings agree; if external CPU pressure
+    // arrives mid-run the tail reading inflates, and the artifact flags
+    // itself as contended instead of masquerading as a regression (the r3
+    // artifact recorded 23s for a 0.43s query this way).
+    def sentinelPass(): Double = {
+      val fn = SparkEntry.queries("tpch_q6")
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelFirst = { sentinelPass(); math.min(sentinelPass(), sentinelPass()) }
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def onePass(): Double = {
@@ -105,8 +120,11 @@ object Bench {
     val ps = results.map { case (k, (_, p)) => "\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val sentinelLast = math.min(sentinelPass(), sentinelPass())
+    val contended =
+      sentinelLast > 2.0 * sentinelFirst || sentinelFirst > 2.0 * sentinelLast
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sentinel_first":$sentinelFirst,"sentinel_last":$sentinelLast,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

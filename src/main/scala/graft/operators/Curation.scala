@@ -449,7 +449,8 @@ object Curation {
           .cast("double") / nWords)
       .withColumn("symbol_ratio",
         ((size(split(col("__t"), "#", -1)) - 1 +
-          size(split(col("__t"), "\\.\\.\\.", -1)) - 1).cast("double"))
+          size(split(col("__t"), "\\.\\.\\.", -1)) - 1 +
+          size(split(col("__t"), "…", -1)) - 1).cast("double"))
           / nWords)
       .withColumn("n_stop", size(array_distinct(regexp_extract_all(
         lower(col("__t")),

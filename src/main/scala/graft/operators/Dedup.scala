@@ -62,12 +62,16 @@ object Dedup {
 
   /** One surviving row per distinct key tuple — the canonical survivor is
     * the minimum of `idCol` (deterministic, unlike dropDuplicates' arbitrary
-    * first-seen row). */
-  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val keep = df.groupBy(keyCols.map(col): _*)
-      .agg(min(col(idCol)).as(idCol))
-    df.join(keep, keyCols :+ idCol, "left_semi")
-  }
+    * first-seen row; `idCol` is an id — unique per row).
+    *
+    * Single-pass by construction: GroupedTopK k=1 ordered by `idCol` asc is
+    * the min-id survivor with one scan of the input and a one-row-per-
+    * mapper-per-key shuffle. The earlier groupBy + left-semi formulation
+    * evaluated the input twice (keep and probe sides), silently pushing a
+    * persist obligation onto every caller whose upstream was expensive —
+    * a 4× regex battery in one composed pipeline. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    graft.plans.GroupedTopK(df, keyCols, Seq(col(idCol).asc), 1)
 
   /** Duplicate-group summary: key, surviving id, group size. */
   def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
@@ -342,7 +346,7 @@ object Dedup {
     // repeated call releases the previous call's blocks (see persistScoped)
     val sh = persistScoped(s"ngram:$idCol:$textCol:$n", shingles(df, idCol, textCol, n))
     val sizes = shingleSizes(sh, idCol)
-    val common = commonCounts(sh, idCol, maxDocFreq)
+    val common = commonCounts(sh, idCol, textCol, n, maxDocFreq)
     common
       .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sh_n").as("n_b")), "id_b")
@@ -366,8 +370,8 @@ object Dedup {
     * detaches CollectMetrics accumulators, and the cache below would hide
     * them from the consuming query's execution anyway — in exchange for a
     * canonical, byte-identical plan that every caller can share.) */
-  private def commonCounts(sh: DataFrame, idCol: String,
-                           maxDocFreq: Option[Int]): DataFrame = {
+  private def commonCounts(sh: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxDocFreq: Option[Int]): DataFrame = {
     val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val keep = docFreq
       .filter(col("df") >= 2 &&
@@ -380,8 +384,10 @@ object Dedup {
     // every lexical-pair operator in the session. Bounded: one row per
     // candidate pair that shares ≥ 1 informative (df ≤ cap) shingle, three
     // fixed-width columns; MEMORY_AND_DISK, so an oversized pair set
-    // spills instead of evicting or OOMing.
-    persistScoped(s"common:$idCol:$maxDocFreq",
+    // spills instead of evicting or OOMing. The key carries the shingle
+    // parameters (textCol, n) alongside the cap — distinct shingle
+    // configurations occupy distinct slots instead of thrashing one.
+    persistScoped(s"common:$idCol:$textCol:$n:$maxDocFreq",
       sh.join(keep, Seq("sh"), "left_semi")
         .groupBy(col("sh"))
         .agg(collect_list(col(idCol)).as("ids"))
@@ -414,7 +420,7 @@ object Dedup {
     val sh = persistScoped(s"contain:$idCol:$textCol:$n",
       shingles(df, idCol, textCol, n))
     val sizes = shingleSizes(sh, idCol)
-    val undirected = commonCounts(sh, idCol, maxDocFreq)
+    val undirected = commonCounts(sh, idCol, textCol, n, maxDocFreq)
     val directed = undirected
       .unionAll(undirected.select(col("id_b").as("id_a"),
         col("id_a").as("id_b"), col("common")))
@@ -454,7 +460,7 @@ object Dedup {
                         maxDocFreq: Option[Int] = Some(500)): DataFrame = {
     val sh = persistScoped(s"edit:$idCol:$textCol:$n",
       shingles(df, idCol, textCol, n))
-    val cands = commonCounts(sh, idCol, maxDocFreq)
+    val cands = commonCounts(sh, idCol, textCol, n, maxDocFreq)
       .filter(col("common") >= minCommon)
       .select(col("id_a"), col("id_b"))
     val bound =
@@ -891,13 +897,17 @@ object Dedup {
     * against the (id, label) frame the CC loop already checkpointed. */
   def survivorsKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                         better: Column): DataFrame = {
-    val labels = clusterLabels(pairs).withColumnRenamed("id", idCol)
+    // __-prefixed internal name: the caller's df may legitimately carry a
+    // column named "label" (labeled curation corpora), which would make the
+    // join and null-filters below ambiguous
+    val labels = clusterLabels(pairs)
+      .select(col("id").as(idCol), col("label").as("__cc_label"))
     val labeled = df.join(labels, Seq(idCol), "left")
-    val singles = labeled.filter(col("label").isNull).drop("label")
+    val singles = labeled.filter(col("__cc_label").isNull).drop("__cc_label")
     val best = graft.plans.GroupedTopK(
-        labeled.filter(col("label").isNotNull),
-        Seq("label"), Seq(better.desc, col(idCol).asc), 1)
-      .drop("label")
+        labeled.filter(col("__cc_label").isNotNull),
+        Seq("__cc_label"), Seq(better.desc, col(idCol).asc), 1)
+      .drop("__cc_label")
     singles.unionByName(best)
   }
 

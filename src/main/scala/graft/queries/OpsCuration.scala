@@ -394,7 +394,8 @@ object OpsCuration extends Suite {
       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
       |    AS DOUBLE) / greatest(len(w), 1) AS alpha_frac,
       |  CAST(len(string_split(t, '#')) - 1
-      |     + len(string_split(t, '...')) - 1 AS DOUBLE)
+      |     + len(string_split(t, '...')) - 1
+      |     + len(string_split(t, '…')) - 1 AS DOUBLE)
       |    / greatest(len(w), 1) AS symbol_ratio,
       |  CAST(len(list_distinct(regexp_extract_all(lower(t),
       |    '\b(the|and|of|to|in|is|that|it|for|was)\b'))) AS INT) AS n_stop
@@ -539,7 +540,7 @@ object OpsCuration extends Suite {
       |    sum(ct) OVER (ORDER BY doc_id, ci ROWS BETWEEN UNBOUNDED
       |      PRECEDING AND CURRENT ROW) - ct AS ex
       |  FROM k)
-      |SELECT ex // 2048 AS seq_ix, count(*) AS n_chunks,
+      |SELECT CAST(ex // 2048 AS BIGINT) AS seq_ix, count(*) AS n_chunks,
       |  CAST(sum(ct) AS BIGINT) AS n_tokens
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -145,8 +145,8 @@ object OpsEvents extends Suite {
 
   // -- windowed event dedup (log-dedup shape): keep the FIRST event per
   //    (user, type) within each 5-minute bin — collapses client retries /
-  //    at-least-once delivery dups. Dedup.exact over the bin key: map-side
-  //    combining groupBy + semi-join, no per-user window sort. ------------
+  //    at-least-once delivery dups. Dedup.exact over the bin key: the
+  //    GroupedTopK k=1 single-pass path, no per-user window sort. ---------
   private val dedupWindow: Q = (s, dir) => {
     val t = Tables(s, dir)
     val binned = t.events

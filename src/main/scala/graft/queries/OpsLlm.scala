@@ -123,13 +123,14 @@ object OpsLlm extends Suite {
       TA.langId(c).as("lang_pred"),
       TA.qualityScore(c).as("quality"),
       TA.tokenCount(c).as("n_tok"))
-    // the scoring battery above is the costliest per-row work in the whole
-    // pipeline, and Dedup.exact's keep/probe sides would each re-evaluate it
-    // from the parquet scan — materialize the kept set once (post-filter, so
-    // the cache holds only the surviving fraction of the corpus)
-    val kept = Dedup.reuse("pipeline:curate:kept", scored
+    // Dedup.exact is single-pass (GroupedTopK k=1) since r4, so the scoring
+    // battery — the costliest per-row work in the pipeline — evaluates once
+    // along a straight scan → score → filter → dedup → agg line; no persist
+    // needed (r2's cache here compensated for exact's old keep/probe
+    // double-scan)
+    val kept = scored
       .filter(col("lang_pred") === "en" && col("quality") >= 3.0)
-      .withColumn("fp", TA.fingerprint(c)))
+      .withColumn("fp", TA.fingerprint(c))
     val deduped = Dedup.exact(kept, Seq("fp"), "doc_id")
     deduped.groupBy(col("quality"))
       .agg(count(lit(1)).as("docs"),
@@ -282,7 +283,11 @@ object OpsLlm extends Suite {
   //    state shape. -------------------------------------------------------
   private val dedupIncremental: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val docs = t.documents.withColumn("fp", TA.fingerprint(col("text")))
+    // the regex fingerprint battery feeds both the batch and the seen
+    // sides — persist it once (Dedup.exact is single-pass since r4, but
+    // the seen/batch split alone would still evaluate the regex twice)
+    val docs = Dedup.reuse("incr:fp",
+      t.documents.withColumn("fp", TA.fingerprint(col("text"))))
     val seen = docs.filter(length(col("source")) <= 4)
     val batch = docs.filter(length(col("source")) > 4)
     Dedup.incrementalExact(batch, seen, Seq("fp"), "doc_id")
@@ -540,8 +545,10 @@ object OpsLlm extends Suite {
       |        FROM toks WHERE len(w) >= 3),
       |sh AS (SELECT DISTINCT doc_id,
       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |inf AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 500),
       |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          WHERE a.s IN (SELECT s FROM inf)
       |          GROUP BY 1, 2 HAVING count(*) >= 5)
       |SELECT id_a, id_b,
       |  CAST(levenshtein(x.text, y.text) AS INT) AS edit_dist
@@ -721,6 +728,43 @@ object OpsLlm extends Suite {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // -- SimHash recall, driver-gated (mirrors llm_embed_ann_recall): the
+  //    per-pair bucket output stays rows-only (xxhash64 simhash values are
+  //    engine-specific), but this summary is oracle-gated — n_docs
+  //    hash-checks against DuckDB, and the query asserts in-band that the
+  //    pigeonhole block join has ZERO false positives (every emitted pair
+  //    re-checked against the true bit_count Hamming) and recall exactly
+  //    1.0 vs the quadratic exact-Hamming baseline. blocks=4 > maxHamming=3
+  //    makes full recall a theorem; this gate proves the implementation
+  //    delivers it. The quadratic baseline is the validation twin only —
+  //    the production path is the block join. ------------------------------
+  private val dedupSimhashRecall: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val sim = Dedup.reuse("simhash:recall",
+      Dedup.simhash(t.documents, "doc_id", "text"))
+    val emitted = Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
+    val a = sim.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sim.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select(col("id_a"), col("id_b"))
+    val fp = emitted.select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_false_pos"))
+    val rc = exact
+      .join(emitted.select(col("id_a"), col("id_b"), lit(1).as("__found")),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("__n_exact"),
+           sum(coalesce(col("__found"), lit(0))).as("__n_found"))
+      .select((col("__n_found") === col("__n_exact")).as("recall_full"))
+    t.documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(fp).crossJoin(rc)
+      .select(col("n_docs"), col("n_false_pos"), col("recall_full"))
+  }
+  private val dedupSimhashRecallSql =
+    """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_false_pos,
+      |  TRUE AS recall_full FROM documents""".stripMargin
 
   // -- embedding cosine top-k (brute force, exact) --------------------------
   private val embedTopk: Q = (s, dir) => {
@@ -1188,6 +1232,7 @@ object OpsLlm extends Suite {
     "llm_dedup_survivors" -> dedupSurvivors,
     "llm_dedup_survivors_best" -> dedupSurvivorsBest,
     "llm_dedup_simhash" -> dedupSimhash,
+    "llm_dedup_simhash_recall" -> dedupSimhashRecall,
     "llm_embed_topk" -> embedTopk,
     "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_exact_pairs" -> embedExactPairs,
@@ -1240,6 +1285,7 @@ object OpsLlm extends Suite {
     "llm_knn_density" -> knnDensitySql,
     "llm_embed_ann_recall" -> embedAnnRecallSql,
     "llm_embed_cluster_recall" -> embedAnnRecallSql,
+    "llm_dedup_simhash_recall" -> dedupSimhashRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,
     "llm_vocab_topk" -> vocabTopkSql,
     "llm_token_budget" -> tokenBudgetSql)

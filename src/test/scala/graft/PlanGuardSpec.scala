@@ -16,6 +16,10 @@ class PlanGuardSpec extends SparkSpec {
     "llm_bm25" -> 1,                 // 1-row corpus-stats aggregate
     "llm_embed_ann_recall" -> 3,     // exact-pairs baseline + summary rows
     "llm_embed_cluster_recall" -> 3, // exact-pairs baseline + summary rows
+    "llm_dedup_simhash_recall" -> 4, // exact-Hamming baseline (prints twice:
+                                     // it feeds both the false-positive and
+                                     // the recall branch) + 2 summary-row
+                                     // crosses
     "llm_embed_exact_pairs" -> 1,    // the documented quadratic baseline
     "llm_knn_graph" -> 2,            // exact-pair mode, both directions
     "llm_knn_density" -> 2,          // exact-pair mode, both directions
@@ -34,6 +38,39 @@ class PlanGuardSpec extends SparkSpec {
     "llm_distinct_sketch" -> 1,      // 1-row merged sketch × 1-row exact
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
+
+  // name -> max Window nodes with EMPTY partitioning, each justified by an
+  // input that is bounded by construction (a prior aggregate / top-k), so
+  // the single-partition window never sees an unbounded stream
+  private val globalWindowAllowed: Map[String, Int] = Map(
+    "llm_epoch_shuffle" -> 1,  // offsets over the 256-row bucket aggregate
+    "llm_pack_sequences" -> 1, // Scale.prefixSum's 64-row bucket offsets
+    "llm_token_budget" -> 1,   // Scale.prefixSum's 64-row bucket offsets
+    "sql_filter_frame" -> 1)   // running total over GROUP BY n_nationkey —
+                               // nation is a fixed 25-row dimension
+
+  test("no gated query plans a global (unpartitioned) window over an " +
+    "unbounded input — the single-partition prefix-sum trap") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // sparkPlan: the physical tree before AQE wrapping, where Window
+        // nodes are directly collectible
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val global = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => "Window"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            "WindowGroupLimit"
+        }
+        if (global.size > globalWindowAllowed.getOrElse(name, 0))
+          Seq(s"$name: ${global.size} global-window node(s) " +
+            s"[${global.mkString(",")}] " +
+            s"(allowed ${globalWindowAllowed.getOrElse(name, 0)})")
+        else Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 
   test("no gated query plans a cartesian product; nested-loop joins only " +
     "where a constant-size side justifies them") {
