@@ -1206,6 +1206,65 @@ object OpsLlm extends Suite {
       |FROM documents, unnest(generate_series(0, 3)) AS t(i)
       |ORDER BY doc_id, frame_ix""".stripMargin
 
+  // -- multimodal container headers: REAL byte-level parsing (PNG IHDR
+  //    chunk walk, JPEG SOFn marker scan, RIFF/WAVE fmt/data walk) as
+  //    codegen'd expressions over genuinely valid file payloads built with
+  //    correct CRCs/structure. The oracle recomputes every field from the
+  //    construction arithmetic directly — if the parser misreads a single
+  //    byte offset the hash diverges. ---------------------------------------
+  private val multimodalHeaders: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.expressions.MediaHeaders.register(s)
+    val id = col("doc_id")
+    val rates = array(lit(8000L), lit(11025L), lit(16000L), lit(22050L),
+      lit(44100L))
+    val params = t.documents.select(id,
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (pmod(id, lit(3)) + 1).cast("int")).as("k"),
+      when(pmod(id, lit(3)) === 2,
+          element_at(rates, (pmod(id, lit(5)) + 1).cast("int")))
+        .otherwise(pmod(id * 37, lit(317)) + 16).as("p1"),
+      when(pmod(id, lit(3)) === 2, pmod(id, lit(2)) + 1)
+        .otherwise(pmod(id * 53, lit(211)) + 16).as("p2"),
+      lit(16L).as("p3"),
+      (pmod(id, lit(1500)) + 100).as("p4"))
+    val media = params.select(id,
+      call_function(graft.expressions.MediaHeaders.buildName,
+        col("k"), col("p1"), col("p2"), col("p3"), col("p4")).as("payload"))
+    def f(name: String) = call_function(
+      graft.expressions.MediaHeaders.fieldName, col("payload"), lit(name))
+      .as(name)
+    media.select(id,
+      call_function(graft.expressions.MediaHeaders.kindName, col("payload"))
+        .as("kind"),
+      f("width"), f("height"), f("bit_depth"), f("sample_rate_hz"),
+      f("channels"), f("bits_per_sample"), f("duration_ms"))
+      .orderBy(id)
+  }
+  // every field recomputed from the construction arithmetic; image rows get
+  // NULL audio fields and vice versa, exactly as the parser reports
+  private val multimodalHeadersSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    ELSE 'wav' END AS kind,
+      |  CAST(CASE WHEN doc_id % 3 < 2 THEN (doc_id * 37) % 317 + 16 END
+      |    AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 < 2 THEN (doc_id * 53) % 211 + 16 END
+      |    AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 < 2 THEN 8 END AS BIGINT) AS bit_depth,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN
+      |    list_extract([8000, 11025, 16000, 22050, 44100],
+      |      CAST(doc_id % 5 + 1 AS INT)) END AS BIGINT) AS sample_rate_hz,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END AS BIGINT)
+      |    AS channels,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 END AS BIGINT)
+      |    AS bits_per_sample,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN
+      |    ((doc_id % 1500) + 100) * 1000 // list_extract(
+      |      [8000, 11025, 16000, 22050, 44100], CAST(doc_id % 5 + 1 AS INT))
+      |    END AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_text_stats" -> textStats,
     "llm_lang_id" -> langId,
@@ -1246,6 +1305,7 @@ object OpsLlm extends Suite {
     "llm_embed_cluster_recall" -> embedClusterRecall,
     "llm_multimodal_features" -> multimodal,
     "llm_multimodal_frames" -> multimodalFrames,
+    "llm_multimodal_headers" -> multimodalHeaders,
     "llm_vocab_topk" -> vocabTopk,
     "llm_token_budget" -> tokenBudget)
 
@@ -1287,6 +1347,7 @@ object OpsLlm extends Suite {
     "llm_embed_cluster_recall" -> embedAnnRecallSql,
     "llm_dedup_simhash_recall" -> dedupSimhashRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,
+    "llm_multimodal_headers" -> multimodalHeadersSql,
     "llm_vocab_topk" -> vocabTopkSql,
     "llm_token_budget" -> tokenBudgetSql)
 }
