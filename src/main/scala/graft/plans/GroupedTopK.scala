@@ -58,12 +58,18 @@ object GroupedTopKStrategy extends SparkStrategy {
   * phase requires clustering on the keys (the planner inserts the hash
   * exchange) and yields each key's rows in the requested sort order.
   *
-  * Memory contract: the working set is k rows × distinct keys per
-  * partition and does NOT spill (unlike the window formulation's
-  * sort, or Spark's hash aggregate fallback). That is the right trade for
-  * top-k workloads — k is small by definition and keys hash-spread across
-  * partitions — but for extreme per-partition key cardinality × large k,
-  * prefer the window form or raise shuffle partitions. */
+  * Memory contract WITH safety valve: the fast path holds k rows × distinct
+  * keys per partition in heaps; once the per-partition group count passes
+  * `spark.graft.topk.maxGroupsPerPartition` (default 1M) the operator
+  * degrades instead of OOMing — the partial phase flushes its heaps
+  * downstream and keeps going (correct because the final phase re-reduces),
+  * and the final phase hands everything held plus the remaining input to a
+  * spillable external sort on (keys, order) and takes the first k rows of
+  * each contiguous key group. An adversarial key distribution therefore
+  * costs a sort (what the window form always pays) rather than memory.
+  * The sort fallback groups by ordering-equality rather than binary
+  * equality, the same hash-vs-sort-aggregate distinction Spark itself
+  * normalizes (e.g. -0.0 vs 0.0) before aggregation. */
 case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
                            k: Int, partial: Boolean,
                            child: SparkPlan) extends UnaryExecNode {
@@ -82,18 +88,21 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
     val so = order
     val out = child.output
     val kk = k
+    val isPartial = partial
+    val maxGroups = conf.getConfString(
+      "spark.graft.topk.maxGroupsPerPartition", "1000000").toInt
     child.execute().mapPartitions({ iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(keyExprs, out)
       // total ordering from the SortOrder spec (codegen'd when possible);
       // smaller = better ranked
       val ordering = RowOrdering.create(so, out)
       // max-heap on the ordering: head is the WORST kept row → O(log k)
       // replace when a better row arrives
-      val groups =
+      var groups =
         new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = groups.get(key)
         if (heap == null) {
@@ -107,10 +116,91 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.enqueue(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      groups.values.asScala.iterator.flatMap { h =>
-        // dequeueAll drains worst-first; reverse restores the sort order
-        h.dequeueAll.reverse.iterator
+      def drain(m: java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.PriorityQueue[InternalRow]])
+          : Iterator[InternalRow] =
+        m.values.asScala.iterator.flatMap { h =>
+          // dequeueAll drains worst-first; reverse restores the sort order
+          h.dequeueAll.reverse.iterator
+        }
+
+      while (iter.hasNext && groups.size() <= maxGroups) insert(iter.next())
+
+      if (!iter.hasNext) drain(groups)
+      else if (isPartial) {
+        // VALVE, partial phase: flush the heaps downstream and continue in
+        // bounded batches — the final phase re-reduces, so emitting a key
+        // more than once is harmless and memory stays ≤ (maxGroups+1) × k
+        new Iterator[Iterator[InternalRow]] {
+          private var done = false
+          override def hasNext: Boolean = !done
+          override def next(): Iterator[InternalRow] = {
+            val flushed = groups
+            groups = new java.util.HashMap()
+            while (iter.hasNext && groups.size() <= maxGroups)
+              insert(iter.next())
+            if (!iter.hasNext) { done = true }
+            val tail = if (done) drain(groups) else Iterator.empty
+            drain(flushed) ++ tail
+          }
+        }.flatten
+      } else {
+        // VALVE, final phase: spillable external sort on (keys, order),
+        // then first-k-per-contiguous-group — already-pruned heap contents
+        // (≤ k per key, still a valid superset of the answer) plus the
+        // remaining input all go through the sorter
+        val sortOrder = keyExprs.map(SortOrder(_, Ascending)) ++ so
+        val fullOrdering = RowOrdering.create(sortOrder, out)
+        val schema = org.apache.spark.sql.types.StructType(
+          out.map(a => org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable)))
+        val prefixComputer =
+          new org.apache.spark.sql.execution.UnsafeExternalRowSorter
+            .PrefixComputer {
+            private val zero = new org.apache.spark.sql.execution
+              .UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow)
+                : org.apache.spark.sql.execution.UnsafeExternalRowSorter
+                  .PrefixComputer.Prefix = zero // ties → full compare
+          }
+        val sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter
+          .create(schema, fullOrdering,
+            org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+              .LONG,
+            prefixComputer,
+            org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+            false)
+        val toUnsafe = UnsafeProjection.create(out, out)
+        def asUnsafe(r: InternalRow): UnsafeRow = r match {
+          case u: UnsafeRow => u
+          case other        => toUnsafe(other)
+        }
+        val held = groups
+        groups = null // release the map reference before the sort
+        held.values.asScala.foreach(
+          _.foreach(r => sorter.insertRow(asUnsafe(r))))
+        held.clear()
+        while (iter.hasNext) sorter.insertRow(asUnsafe(iter.next()))
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var taken = 0
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyProj(row)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy(); taken = 1; pending = row
+              } else if (taken < kk) { taken += 1; pending = row }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance()
+            val r = pending; pending = null; r
+          }
+        }
       }
     }, preservesPartitioning = true)
   }

@@ -956,6 +956,71 @@ object OpsLlm extends Suite {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  // -- IVF index persistence round-trip: writes the index partitioned by
+  //    cluster, re-reads with a probe filter, and PROVES partition pruning
+  //    from the executed plan (partition filters present + fewer files
+  //    listed than the index holds) — the on-disk layout contract that
+  //    makes IVF probes at 100 TB touch only probed clusters. The driver-
+  //    side collects here are gate assertions over bounded data (ids of
+  //    ≤3 probed clusters), not the production read path. ------------------
+  private val embedIvfPersist: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val corpus = t.embeddings.select(col("vec_id"), col("embedding"))
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nlist = 16, iters = 2, seed = 42L)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-gate")
+    try {
+      idx.write(path.toString)
+      val reread = s.read.parquet(path.toString)
+      // invariant 1: lossless round-trip (row count + id checksum)
+      val orig = corpus.agg(count(lit(1)), sum(col("vec_id"))).head
+      val full = reread.agg(count(lit(1)), sum(col("vec_id"))).head
+      val roundtripOk = orig.getLong(0) == full.getLong(0) &&
+        orig.getLong(1) == full.getLong(1)
+      // probe the 3 lowest-numbered clusters that actually materialized
+      val probes = path.toFile.listFiles()
+        .filter(_.getName.startsWith("cluster="))
+        .map(_.getName.stripPrefix("cluster=").toInt).sorted.take(3).toSeq
+      val filtered = reread
+        .filter(col("cluster").isin(probes.map(Int.box): _*))
+        .select(col("vec_id"), col("cluster"))
+      val gotIds = filtered.collect().map(_.getLong(0)).toSet
+      // invariant 2: partition pruning is visible in the EXECUTED plan —
+      // partition filters on `cluster` and fewer files than the index has
+      val scans = filtered.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution
+            .FileSourceScanExec => f }
+      def parquetFiles(d: java.io.File): Long =
+        if (d.isDirectory) d.listFiles().map(parquetFiles).sum
+        else if (d.getName.endsWith(".parquet")) 1L else 0L
+      val totalFiles = parquetFiles(path.toFile)
+      val prunedOk = scans.nonEmpty &&
+        scans.forall(_.partitionFilters.nonEmpty) &&
+        scans.map(_.metrics("numFiles").value).sum < totalFiles
+      // invariant 3: the pruned read returns exactly the in-memory
+      // assignment rows of the probed clusters
+      val wantIds = idx.assignments
+        .filter(col("cluster").isin(probes.map(Int.box): _*))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val subsetOk = gotIds == wantIds && gotIds.nonEmpty
+      import s.implicits._
+      Seq((orig.getLong(0), orig.getLong(1), roundtripOk, prunedOk,
+        subsetOk))
+        .toDF("n_total", "id_sum", "roundtrip_ok", "pruned_ok",
+          "probe_subset_ok")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(path.toFile)
+    }
+  }
+  private val embedIvfPersistSql =
+    """SELECT count(*) AS n_total, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+      |  true AS roundtrip_ok, true AS pruned_ok, true AS probe_subset_ok
+      |FROM embeddings""".stripMargin
+
   // -- embedding ANN pairs via sign-bit LSH (rows-only; recall in spec) -----
   private val embedAnnPairs: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -1294,6 +1359,7 @@ object OpsLlm extends Suite {
     "llm_dedup_simhash_recall" -> dedupSimhashRecall,
     "llm_embed_topk" -> embedTopk,
     "llm_embed_ivf_topk" -> embedIvfTopk,
+    "llm_embed_ivf_persist" -> embedIvfPersist,
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_label_purity" -> embedLabelPurity,
     "llm_semantic_dedup" -> semanticDedup,
@@ -1338,6 +1404,7 @@ object OpsLlm extends Suite {
     "llm_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "llm_embed_topk" -> embedTopkSql,
     "llm_embed_ivf_topk" -> embedTopkSql,
+    "llm_embed_ivf_persist" -> embedIvfPersistSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
     "llm_embed_label_purity" -> embedLabelPuritySql,
     "llm_semantic_dedup" -> semanticDedupSql,

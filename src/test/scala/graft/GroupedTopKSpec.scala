@@ -78,6 +78,41 @@ class GroupedTopKSpec extends SparkSpec {
       .contains("GroupedTopK"))
   }
 
+  test("safety valve: pathological key cardinality under a tight group cap") {
+    // 20k distinct keys funneled into few partitions with the cap at 97:
+    // the partial phase must flush (batched emit) and the final phase must
+    // take the external-sort fallback — results must be IDENTICAL to the
+    // unconstrained heap path / the window form
+    spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "97")
+    try {
+      val many = (1 to 60000).map { i =>
+        (s"k${i % 20000}", i.toLong, rnd.nextDouble() * 10)
+      }
+      val df = many.toDF("g", "id", "v").repartition(2)
+      val valve = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val expected = many.groupBy(_._1).values.flatMap { rs =>
+        rs.sortBy(r => (-r._3, r._2)).take(2)
+      }.map(r => (r._1, r._2)).toSet
+      assert(valve.size == expected.size && valve == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+  }
+
+  test("safety valve preserves per-key sort order in the fallback") {
+    spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "11")
+    try {
+      val many = (1 to 9000).map { i =>
+        (s"k${i % 3000}", i.toLong, rnd.nextDouble() * 10)
+      }
+      val df = many.toDF("g", "id", "v").repartition(2)
+      val rows = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 3)
+        .filter($"g" === "k17").collect()
+        .map(r => (r.getDouble(2), r.getLong(1)))
+      assert(rows.nonEmpty &&
+        rows.sortBy(t => (-t._1, t._2)).toSeq == rows.toSeq)
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+  }
+
   test("per-key output order follows the sort spec") {
     val df = data.toDF("g", "id", "v")
     val rows = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 4)
