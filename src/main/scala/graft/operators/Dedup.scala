@@ -112,6 +112,52 @@ object Dedup {
       .join(seenKeys.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
 
+  /** Bloom-prefiltered incremental exact dedup: [[incrementalExact]] with
+    * the corpus-side state compressed into a Bloom sketch. Output is
+    * ROW-IDENTICAL to incrementalExact for every fpp — the sketch only
+    * routes: rows whose key the filter has definitely never seen skip the
+    * anti-join entirely; possible-positives verify exactly against the true
+    * key set, so a false positive costs a join probe, never a dropped row.
+    *
+    * Why this is the 100 TB state shape: at 10⁹ seen documents the md5
+    * fingerprint table is ~16 GB of join-side state, the 1%-fpp sketch is
+    * ~1.2 GB and broadcastable — and (1 − fpp) of the genuinely-new rows
+    * (the vast majority of a daily batch) never shuffle at all. The sketch
+    * is also mergeable across days (`BloomFilter.mergeInPlace`), the same
+    * incremental-state contract as the HLL distinct sketches.
+    *
+    * `keyCol` must be a string (md5 hex fingerprint) or long (64-bit hash)
+    * column. The sketch is built with one aggregation over `seenKeys`
+    * (`DataFrameStatFunctions.bloomFilter` — distributed build, driver
+    * holds only the bit array). */
+  def bloomIncremental(batch: DataFrame, seenKeys: DataFrame,
+                       keyCol: String, idCol: String,
+                       fpp: Double = 0.01): DataFrame = {
+    val seen = reuse(s"bloom:seen:$keyCol",
+      seenKeys.select(col(keyCol)).distinct())
+    val nSeen = math.max(seen.count(), 1L)
+    val bloom = seen.stat.bloomFilter(keyCol, nSeen, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val spark = batch.sparkSession
+    // the survivor set feeds BOTH routing branches — persist it once
+    val surv = reuse(s"bloom:surv:$keyCol", exact(batch, Seq(keyCol), idCol))
+    val mightSeen = coalesce(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.BloomMightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+            spark, surv(keyCol)), bytes)),
+      // a NULL key never matches an anti-join either — route it to the
+      // definite-new branch so output matches incrementalExact exactly
+      lit(false))
+    // definite-new rows bypass the join; possible-positives verify exactly
+    surv.filter(!mightSeen).unionByName(
+      surv.filter(mightSeen).join(seen, Seq(keyCol), "left_anti"))
+  }
+
   // --- winnowing fingerprints (Schleimer et al., SIGMOD'03) ---------------
 
   /** Winnowing fingerprint set per document: hash every word-`k`-gram, then

@@ -294,6 +294,22 @@ object OpsLlm extends Suite {
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }
+  // -- bloom-prefiltered incremental dedup: identical OUTPUT to
+  //    llm_dedup_incremental (the oracle is literally the same SQL) with
+  //    the corpus state compressed to a Bloom sketch — false positives
+  //    verify exactly, definite-negatives skip the join. Gated on exact
+  //    equality with the anti-join semantics, which is the whole claim. ----
+  private val dedupBloom: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = Dedup.reuse("incr:fp",
+      t.documents.withColumn("fp", TA.fingerprint(col("text"))))
+    val seen = docs.filter(length(col("source")) <= 4)
+    val batch = docs.filter(length(col("source")) > 4)
+    Dedup.bloomIncremental(batch, seen, "fp", "doc_id", fpp = 0.01)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   private val dedupIncrementalSql =
     """WITH d AS (SELECT doc_id, source,
       |    md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ',
@@ -1113,6 +1129,33 @@ object OpsLlm extends Suite {
       .orderBy(col("doc_id"))
   }
 
+  // -- compression-ratio quality signal: deflate(text)/|text| per doc,
+  //    gated with in-query physics assertions the DuckDB oracle states as
+  //    constants (DEFLATE itself is not SQL-expressible): every ratio is
+  //    positive and bounded, and 4x self-repetition ALWAYS compresses
+  //    better than the original — if the kernel miscomputed either side,
+  //    a boolean flips and the hash diverges. ------------------------------
+  private val compressRatio: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.expressions.DeflateRatio.register(s)
+    def ratio(c: org.apache.spark.sql.Column) =
+      call_function(graft.expressions.DeflateRatio.name, c)
+    val scored = t.documents.select(col("doc_id"),
+      ratio(col("text")).as("r1"),
+      ratio(concat(col("text"), col("text"), col("text"), col("text")))
+        .as("r4"))
+    scored.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(when(col("r1") > 0.0 && col("r1") <= 1.5, 1).otherwise(0))
+        === count(lit(1))).as("all_bounded"),
+      (sum(when(col("r4") < col("r1"), 1).otherwise(0))
+        === count(lit(1))).as("repetition_compresses"))
+  }
+  private val compressRatioSql =
+    """SELECT count(*) AS n_docs, true AS all_bounded,
+      |  true AS repetition_compresses
+      |FROM documents""".stripMargin
+
   // -- vocabulary top-k: token frequency table, the first step of any
   //    tokenizer/BPE training prep. Top-k fuses to TakeOrderedAndProject
   //    (per-partition heaps, no global sort). ------------------------------
@@ -1338,6 +1381,7 @@ object OpsLlm extends Suite {
     "llm_pipeline_curate" -> pipelineCurate,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_incremental" -> dedupIncremental,
+    "llm_dedup_bloom" -> dedupBloom,
     "llm_corpus_report" -> corpusReport,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_distinct_sketch" -> distinctSketch,
@@ -1373,6 +1417,7 @@ object OpsLlm extends Suite {
     "llm_multimodal_frames" -> multimodalFrames,
     "llm_multimodal_headers" -> multimodalHeaders,
     "llm_vocab_topk" -> vocabTopk,
+    "llm_compress_ratio" -> compressRatio,
     "llm_token_budget" -> tokenBudget)
 
   def oracle: Map[String, String] = Map(
@@ -1383,6 +1428,7 @@ object OpsLlm extends Suite {
     "llm_pipeline_curate" -> pipelineCurateSql,
     "llm_dedup_exact" -> dedupExactSql,
     "llm_dedup_incremental" -> dedupIncrementalSql,
+    "llm_dedup_bloom" -> dedupIncrementalSql,
     "llm_corpus_report" -> corpusReportSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_distinct_sketch" -> distinctSketchSql,
@@ -1416,5 +1462,6 @@ object OpsLlm extends Suite {
     "llm_multimodal_frames" -> multimodalFramesSql,
     "llm_multimodal_headers" -> multimodalHeadersSql,
     "llm_vocab_topk" -> vocabTopkSql,
+    "llm_compress_ratio" -> compressRatioSql,
     "llm_token_budget" -> tokenBudgetSql)
 }

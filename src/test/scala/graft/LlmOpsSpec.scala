@@ -520,6 +520,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(cold.toSeq == Seq(10L, 12L, 13L))
   }
 
+  test("bloomIncremental is row-identical to incrementalExact, even at " +
+    "an adversarial 0.5 fpp, under forced codegen") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(41)
+      // overlapping key spaces: ~half the batch keys were already seen
+      val batch = (1 to 400).map(i => (i.toLong, s"k${rnd.nextInt(120)}"))
+        .toDF("doc_id", "k")
+      val seen = (1 to 200).map(_ => Tuple1(s"k${rnd.nextInt(60)}"))
+        .toDF("k")
+      val expected = Dedup.incrementalExact(batch, seen, Seq("k"), "doc_id")
+        .select("doc_id", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // fpp 0.5 floods the verify branch with false positives — output
+      // must not change by a single row
+      val viaBloom = Dedup.bloomIncremental(batch, seen, "k", "doc_id",
+          fpp = 0.5)
+        .select("doc_id", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(viaBloom == expected)
+      // long keys take the mightContainLong path
+      val batchL = (1 to 300).map(i => (i.toLong, rnd.nextInt(90).toLong))
+        .toDF("doc_id", "k")
+      val seenL = (1 to 150).map(_ => Tuple1(rnd.nextInt(50).toLong))
+        .toDF("k")
+      val expL = Dedup.incrementalExact(batchL, seenL, Seq("k"), "doc_id")
+        .select("doc_id", "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotL = Dedup.bloomIncremental(batchL, seenL, "k", "doc_id",
+          fpp = 0.3)
+        .select("doc_id", "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotL == expL)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("editDistancePairs verifies planted near-identical docs by " +
     "levenshtein and excludes unrelated ones") {
     val out = Dedup.editDistancePairs(docs, "doc_id", "text",
