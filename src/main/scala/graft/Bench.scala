@@ -39,7 +39,14 @@ object Bench {
       "llm_dedup_edit", "llm_gopher_filters", "llm_dedup_incremental",
       "llm_embed_label_purity", "llm_corpus_report", "llm_vocab_coverage",
       "llm_distinct_sketch", "events_dedup_window", "llm_split_leakage",
-      "llm_dedup_survivors_best")
+      "llm_dedup_survivors_best",
+      // round-4 additions: real media-header parsing, bloom-prefiltered
+      // incremental dedup, deflate-ratio scoring, PQ/ADC ANN with exact
+      // rescore, IVF persistence round-trip, temperature mixing, A-ES
+      // weighted sampling
+      "llm_multimodal_headers", "llm_dedup_bloom", "llm_compress_ratio",
+      "llm_embed_pq_recall", "llm_embed_ivf_persist",
+      "llm_temperature_mix", "llm_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

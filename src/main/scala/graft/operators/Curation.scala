@@ -481,6 +481,60 @@ object Curation {
     * the bucket). The only unpartitioned window runs over the 256-row
     * bucket-count aggregate — fixed size at any data scale; within-bucket
     * ranking partitions on ~N/256 uniformly-hashed rows. */
+  /** Temperature-flattened mixture sampling: group shares ∝ n_g^α — the
+    * standard multilingual/multi-source rebalancing recipe (α < 1 upweights
+    * small sources relative to natural sampling; α = 1 degenerates to
+    * proportional, α → 0 to uniform). Each group contributes
+    * k_g = min(n_g, floor(budget · n_g^α / Σ_h n_h^α)) rows, selected by
+    * the same deterministic smallest-md5-bucket ranking as [[balanceMix]]
+    * (re-runs and engines agree bit-for-bit; the float quota arithmetic is
+    * IEEE-double on both sides, same determinism class as balanceMix).
+    *
+    * Scale: one count aggregation (map-side combined), a broadcast quota
+    * join, and a per-group rank — no global sort, no driver material
+    * beyond the (groups × 2) quota table. */
+  def temperatureMix(df: DataFrame, groupCol: String, id: Column,
+                     alpha: Double, totalBudget: Long,
+                     salt: String): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    require(totalBudget > 0, s"totalBudget=$totalBudget must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("w_g", pow(col("n_g").cast("double"), lit(alpha)))
+    val wTot = counts.agg(sum(col("w_g")).as("w_tot"))
+    val quota = counts.crossJoin(broadcast(wTot))
+      .withColumn("k_g", least(col("n_g"),
+        floor(lit(totalBudget.toDouble) * col("w_g") / col("w_tot"))
+          .cast("long")))
+      .select(col(groupCol), col("k_g"))
+    val byBucket = Window.partitionBy(col(groupCol))
+      .orderBy(sampleBucket(id, salt), id)
+    df.withColumn("__rn", row_number().over(byBucket))
+      .join(broadcast(quota), groupCol)
+      .filter(col("__rn") <= col("k_g"))
+      .drop("__rn", "k_g")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws the deterministic md5-uniform
+    * u ∈ (0,1) of its id and keys on u^(1/w); the global top-k by key is a
+    * weighted sample — inclusion probability rises with `weight`, no
+    * sequential state. Deterministic by construction (no RNG), so engines
+    * and re-runs agree exactly.
+    *
+    * Scale: the top-k is a plain orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition k-heaps then a k-merge, no
+    * global sort of the corpus. `weight` must be strictly positive. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+                     salt: String): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val u = (sampleBucket(id, salt).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    df.withColumn("__es_key", pow(u, lit(1.0) / weight))
+      .orderBy(col("__es_key").desc, id)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   def epochShuffle(df: DataFrame, id: Column, seed: String): DataFrame = {
     val keyed = df
       .withColumn("__k", md5(concat(lit(seed), lit(":"), id.cast("string"))))

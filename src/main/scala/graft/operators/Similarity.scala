@@ -471,4 +471,150 @@ object Similarity {
         idCol, vecCol, threshold, probes)
     Dedup.survivors(corpus, pairs, idCol)
   }
+
+  // --- product quantization (PQ / ADC) -------------------------------------
+
+  /** PQ index: per-row code arrays plus the flat subspace-major codebook
+    * (`[(s·ksub + j)·dsub + d]`). Codes are m small ints per vector — the
+    * memory-side ANN path (IVF prunes WHICH rows are scored; PQ shrinks
+    * WHAT is scored: a dim×4-byte embedding becomes m bytes of codes, so a
+    * 10⁹-vector corpus scores from ~8 GB of codes instead of ~256 GB of
+    * floats). */
+  final case class PqIndex(codes: DataFrame, codebook: Array[Double],
+                           m: Int, ksub: Int, dsub: Int)
+
+  /** Driver-side Lloyd k-means under L2 on a bounded sample — the standard
+    * PQ codebook trainer (Jégou et al. 2011 §II.C train per-subspace
+    * quantizers on a sample regardless of corpus size). Deterministic:
+    * seeded hash-ordered sample, first-k init, ties to the lower index. */
+  private def kmeansL2(points: Array[Array[Double]], k: Int,
+                       iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeansL2: no training points")
+    val dim = points.head.length
+    var cents = points.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      points.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var dist = 0.0; var d = 0
+          while (d < dim) {
+            val diff = x(d) - cents(j)(d); dist += diff * diff; d += 1
+          }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += x(d); d += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+      }
+    }
+    cents
+  }
+
+  /** L2-normalize an array<double> column (one norm computation per row,
+    * not per element). Unit vectors make the ADC inner product an
+    * approximate COSINE — the similarity the rest of the family uses. */
+  private def normalized(v: Column): Column = {
+    val n = sqrt(aggregate(zip_with(v, v, (p, q) => p * q), lit(0.0), _ + _))
+    transform(v, x => x / n)
+  }
+
+  /** Build a PQ index: codebooks train driver-side on the same bounded
+    * hash-ordered sample contract as [[ivfIndex]] (≤ maxTrainRows × dim
+    * doubles of driver memory); corpus encoding is one distributed pass
+    * through the fused [[graft.expressions.PqEncode]] kernel. `dim` must be
+    * divisible by `m`. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 5, seed: Long = 42L,
+              maxTrainRows: Int = 25600): PqIndex = {
+    val spark = corpus.sparkSession
+    val vd = col(vecCol).cast("array<double>")
+    val train = corpus
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(maxTrainRows)
+      .select(normalized(vd))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(train.nonEmpty, "pqIndex: corpus is empty")
+    val dim = train.head.length
+    require(dim % m == 0, s"pqIndex: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebook = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val sub = train.map(v => java.util.Arrays.copyOfRange(
+        v, s * dsub, (s + 1) * dsub))
+      val cents = kmeansL2(sub, ksub, iters)
+      for (j <- 0 until ksub; d <- 0 until dsub)
+        // clusters beyond the distinct-point count keep their init value;
+        // rows never map to them (farther than the identical centroid)
+        codebook((s * ksub + j) * dsub + d) =
+          cents(math.min(j, cents.length - 1))(d)
+    }
+    // build the encode expression over the ANALYZED normalized frame so the
+    // captured attribute keeps its exprId (same pattern as GroupedTopK)
+    val withN = corpus.select(col(idCol), normalized(vd).as("__nv"))
+    val enc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+          spark, withN("__nv")),
+        codebook, m, ksub, dsub))
+    val codes = withN.select(col(idCol), enc.as("codes"))
+    PqIndex(codes, codebook, m, ksub, dsub)
+  }
+
+  /** ADC top-k for a query batch: each query's m×ksub lookup table of
+    * partial inner products is computed driver-side over the codebook and
+    * broadcast; per corpus row the score is m array lookups summed by
+    * stock codegen'd higher-order functions (zip_with/element_at/
+    * aggregate) — no floats ever leave the codes relation. Top-k per query
+    * rides the bounded-heap GroupedTopK. For production recall, take
+    * `k' > k` here and exactly rescore the k' candidates against the raw
+    * vectors (what the gated recall query does). */
+  def pqTopKBatch(index: PqIndex, idCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  k: Int): DataFrame = {
+    val spark = index.codes.sparkSession
+    val m = index.m; val ksub = index.ksub; val dsub = index.dsub
+    val qRows = queries
+      .select(col(qIdCol), normalized(col(qVecCol).cast("array<double>")))
+      .collect()
+    val lutRows = qRows.map { r =>
+      val qid = r.get(0)
+      val qv = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](m * ksub)
+      for (s <- 0 until m; j <- 0 until ksub) {
+        var dot = 0.0; var d = 0
+        while (d < dsub) {
+          dot += qv(s * dsub + d) * index.codebook((s * ksub + j) * dsub + d)
+          d += 1
+        }
+        lut(s * ksub + j) = dot
+      }
+      org.apache.spark.sql.Row(qid, lut.toSeq)
+    }
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        queries.schema(qIdCol).dataType),
+      org.apache.spark.sql.types.StructField("__lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val luts = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq), lutSchema)
+    val scored = index.codes
+      .crossJoin(broadcast(luts))
+      .select(col("query_id"), col(idCol),
+        aggregate(
+          zip_with(col("codes"),
+            sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("__lut"), s * ksub + c + 1)),
+          lit(0.0), _ + _).as("adc_score"))
+    graft.plans.GroupedTopK(scored, Seq("query_id"),
+      Seq(col("adc_score").desc, col(idCol).asc), k)
+  }
 }

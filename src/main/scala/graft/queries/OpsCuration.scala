@@ -86,6 +86,54 @@ object OpsCuration extends Suite {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // -- temperature mixture: group shares ∝ n_g^0.5 under a 300-doc budget
+  //    — the multilingual rebalancing recipe; the oracle recomputes the
+  //    n^α quota arithmetic and the md5 ranking. -------------------------
+  private val temperatureMix: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.temperatureMix(t.documents.select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), alpha = 0.5, totalBudget = 300, salt)
+      .orderBy(col("doc_id"))
+  }
+  private val temperatureMixSql =
+    s"""WITH c AS (SELECT lang, count(*) AS n_g,
+      |             pow(CAST(count(*) AS DOUBLE), 0.5) AS w_g
+      |           FROM documents GROUP BY lang),
+      |tot AS (SELECT sum(w_g) AS w_tot FROM c),
+      |q AS (SELECT lang, least(n_g,
+      |        CAST(floor(300.0 * w_g / w_tot) AS BIGINT)) AS k_g
+      |      FROM c, tot),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |        ORDER BY CAST(('0x' || substr(md5('$salt'
+      |          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+      |        AS rn
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+      |WHERE rn <= k_g
+      |ORDER BY doc_id""".stripMargin
+
+  // -- weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+  //    key = u^(1/w) on the deterministic md5-uniform, top-100 by key;
+  //    weight = n_chars, so longer docs are proportionally likelier. The
+  //    plan is TakeOrderedAndProject (per-partition heaps), never a global
+  //    sort. ------------------------------------------------------------
+  private val weightedSample: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.weightedSample(
+        t.documents.select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 100, salt)
+      .orderBy(col("doc_id"))
+  }
+  private val weightedSampleSql =
+    s"""SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    pow((CAST(('0x' || substr(md5('$salt'
+      |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+      |         / 4294967296.0, 1.0 / n_chars) AS k
+      |  FROM documents
+      |  ORDER BY k DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   // -- epoch shuffle: deterministic global permutation keyed by seed; the
   //    rank is computed via 256 hash-prefix buckets + offsets (no global
   //    window), the oracle via a plain global row_number — two different
@@ -668,6 +716,8 @@ object OpsCuration extends Suite {
     "llm_sample_fixed" -> sampleFixed,
     "llm_balance_mix" -> balanceMix,
     "llm_epoch_shuffle" -> epochShuffle,
+    "llm_temperature_mix" -> temperatureMix,
+    "llm_weighted_sample" -> weightedSample,
     "llm_lm_score" -> lmScore,
     "llm_lm_bigram" -> lmBigram,
     "llm_split" -> datasetSplit,
@@ -690,6 +740,8 @@ object OpsCuration extends Suite {
     "llm_sample_fixed" -> sampleFixedSql,
     "llm_balance_mix" -> balanceMixSql,
     "llm_epoch_shuffle" -> epochShuffleSql,
+    "llm_temperature_mix" -> temperatureMixSql,
+    "llm_weighted_sample" -> weightedSampleSql,
     "llm_lm_score" -> lmScoreSql,
     "llm_lm_bigram" -> lmBigramSql,
     "llm_split" -> datasetSplitSql,

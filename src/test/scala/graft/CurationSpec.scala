@@ -292,6 +292,51 @@ class CurationSpec extends SparkSpec {
     assert(rows(2).getSeq[Int](2) == Seq(127))
   }
 
+  test("temperatureMix: quotas follow n^alpha, capped at group size") {
+    val df = (1 to 800).map { i =>
+      val g = if (i <= 640) "big" else if (i <= 790) "mid" else "tiny"
+      (i.toLong, g)
+    }.toDF("id", "g")
+    val out = graft.operators.Curation.temperatureMix(df, "g", col("id"),
+      alpha = 0.5, totalBudget = 200, salt = "t1:")
+    val got = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side recomputation of the quota arithmetic
+    val n = Map("big" -> 640L, "mid" -> 150L, "tiny" -> 10L)
+    val w = n.view.mapValues(v => math.pow(v.toDouble, 0.5)).toMap
+    val wTot = w.values.sum
+    val expected = n.map { case (g, ng) =>
+      g -> math.min(ng, math.floor(200.0 * w(g) / wTot).toLong)
+    }
+    assert(got == expected)
+    // alpha flattens: tiny's share under alpha=0.5 beats its natural share
+    assert(got("tiny").toDouble / got.values.sum > 10.0 / 800.0)
+    // deterministic: same rows on a re-run
+    val again = graft.operators.Curation.temperatureMix(df, "g", col("id"),
+      alpha = 0.5, totalBudget = 200, salt = "t1:")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("weightedSample: exact k, deterministic, equals driver-side A-ES") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 19) + 1L)).toDF("id", "w")
+    val out = graft.operators.Curation.weightedSample(df, col("id"),
+      col("w"), k = 50, salt = "es:")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.size == 50)
+    // driver-side replication of the exact key formula
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"es:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = (1 to 500).map { i =>
+      val u = (bucket(i.toLong) + 0.5) / 4294967296.0
+      (math.pow(u, 1.0 / ((i % 19) + 1)), -i.toLong, i.toLong)
+    }.sortBy(t => (-t._1, -t._2)).take(50).map(_._3).toSet
+    assert(out == expected)
+  }
+
   test("gopherFilters: each rule rejects its crafted violation") {
     val docs = Seq(
       (0L, "the morning light rises slowly across the quiet valley floor " +

@@ -34,6 +34,10 @@ class PlanGuardSpec extends SparkSpec {
                                      // under dots + both norm joins, so the
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
+    "llm_embed_pq_recall" -> 4,      // broadcast ADC lut batch (5 rows by
+                                     // contract) + exact-baseline query
+                                     // broadcast + 2 summary-row crosses
+    "llm_temperature_mix" -> 1,      // 1-row Σ n_g^α total aggregate
     "llm_vocab_coverage" -> 1,       // 1-row top-K sum × 1-row totals
     "llm_distinct_sketch" -> 1,      // 1-row merged sketch × 1-row exact
     "tpch_q11" -> 1,                 // scalar-subquery threshold
