@@ -215,16 +215,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
+    // runs inside the operator-optimization fixed point, so it alternates
+    // with ColumnPruning until wide payloads are gone below the heaps
+    ext.injectOptimizerRule(_ => PruneGroupedTopK)
   }
 }
 
 object GroupedTopK {
 
-  /** Ensure the strategy is active on an existing session (idempotent). */
+  /** Ensure the strategy is active on an existing session (idempotent).
+    * Also activates [[PruneGroupedTopK]] so runtime-registered sessions
+    * prune columns through the node (the extraOptimizations batch runs
+    * after Catalyst's ColumnPruning has stacked a Project above it). */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies = cur :+ GroupedTopKStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PruneGroupedTopK))
+      spark.experimental.extraOptimizations = opts :+ PruneGroupedTopK
   }
 
   /** Top `k` rows per distinct value of `keyCols`, ranked by `orderBy`

@@ -113,6 +113,23 @@ class GroupedTopKSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
   }
 
+  test("column pruning pushes through the custom node: wide payloads " +
+    "never reach the heaps when downstream only aggregates narrow cols") {
+    val df = data.toDF("g", "id", "v")
+      .withColumn("payload", concat_ws("-", lit("x" * 2000), $"id"))
+    val out = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 3)
+      .groupBy($"g").agg(sum($"v").as("sv"))
+    out.collect()
+    // string match: plan.collect doesn't descend into AQE's final plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial"), s"operator missing:\n$plan")
+    // everything BELOW the partial phase (its input subtree) must have
+    // dropped the wide column before the heaps/exchange
+    val belowHeaps = plan.substring(plan.indexOf("GroupedTopKPartial"))
+    assert(!belowHeaps.contains("payload"),
+      s"wide column rode the heaps:\n$plan")
+  }
+
   test("per-key output order follows the sort spec") {
     val df = data.toDF("g", "id", "v")
     val rows = GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 4)
