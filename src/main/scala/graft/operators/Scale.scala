@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Deterministic sharded output — the training-data writer contract: the
+    * corpus lands as range-partitioned parquet where (a) shard files carry
+    * disjoint, ordered key ranges (file-level min/max stats make key-range
+    * reads prune whole files), (b) no file exceeds `maxRecordsPerFile`
+    * (bounded downstream loader memory), and (c) layout is a pure function
+    * of the data (same input ⇒ same shards, any cluster).
+    *
+    * One count job sizes the shard count; repartitionByRange samples the
+    * key (correctness never depends on the sample — it only balances
+    * shards; maxRecordsPerFile is the hard per-file cap the writer
+    * enforces), and sortWithinPartitions gives within-file ordering, so
+    * the global order is (file range order, in-file order). */
+  def writeSharded(df: DataFrame, path: String,
+                   orderKey: org.apache.spark.sql.Column,
+                   maxRecordsPerFile: Int): Unit = {
+    require(maxRecordsPerFile > 0, s"maxRecordsPerFile=$maxRecordsPerFile")
+    val n = df.count()
+    val shards = math.max(1L, (n + maxRecordsPerFile - 1) /
+      maxRecordsPerFile).toInt
+    df.repartitionByRange(shards, orderKey)
+      .sortWithinPartitions(orderKey)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Distributed prefix sum (inclusive running total) over a total order —
     * WITHOUT the single-partition global window that
     * `Window.orderBy(...)` with no partition key degenerates to (the

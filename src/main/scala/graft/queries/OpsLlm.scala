@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Multimodal, Scale, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over the documents/embeddings tables
@@ -975,6 +975,53 @@ object OpsLlm extends Suite {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  // -- sharded training-data writer: range-partitioned parquet where no
+  //    file exceeds the record cap and shard files carry DISJOINT ordered
+  //    key ranges (file-level min/max stats prune key-range reads). The
+  //    gate re-reads the layout and asserts all three contracts plus a
+  //    lossless checksum; the per-file stats collect is bounded by the
+  //    shard count (n/cap), not the data. --------------------------------
+  private val shardWrite: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("n_chars"))
+    val cap = 1000
+    val path = java.nio.file.Files.createTempDirectory("graft-shard-gate")
+    try {
+      Scale.writeSharded(docs, path.toString, col("doc_id"), cap)
+      val reread = s.read.parquet(path.toString)
+      val orig = docs.agg(count(lit(1)), sum(col("doc_id"))).head
+      val back = reread.agg(count(lit(1)), sum(col("doc_id"))).head
+      val roundtripOk = orig.getLong(0) == back.getLong(0) &&
+        orig.getLong(1) == back.getLong(1)
+      val perFile = reread
+        .groupBy(input_file_name().as("__f"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+        .collect()                       // ≤ n/cap rows by construction
+        .sortBy(_.getAs[Long]("lo"))
+      val filesOk = perFile.nonEmpty &&
+        perFile.forall(_.getAs[Long]("cnt") <= cap)
+      val rangesOk = perFile.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+        case _           => true
+      }
+      import s.implicits._
+      Seq((orig.getLong(0), orig.getLong(1), roundtripOk, filesOk,
+        rangesOk))
+        .toDF("n_total", "id_sum", "roundtrip_ok", "files_ok", "ranges_ok")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(path.toFile)
+    }
+  }
+  private val shardWriteSql =
+    """SELECT count(*) AS n_total, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  true AS roundtrip_ok, true AS files_ok, true AS ranges_ok
+      |FROM documents""".stripMargin
+
   // -- product-quantization ANN with exact rescoring, recall-gated: PQ
   //    codes (m=16 subspaces × 16 centroids over the 64-dim embeddings =
   //    16 4-bit codes per vector) score a 4k candidate set via ADC lookup
@@ -1451,6 +1498,7 @@ object OpsLlm extends Suite {
     "llm_embed_ivf_topk" -> embedIvfTopk,
     "llm_embed_ivf_persist" -> embedIvfPersist,
     "llm_embed_pq_recall" -> embedPqRecall,
+    "llm_shard_write" -> shardWrite,
     "llm_embed_exact_pairs" -> embedExactPairs,
     "llm_embed_label_purity" -> embedLabelPurity,
     "llm_semantic_dedup" -> semanticDedup,
@@ -1499,6 +1547,7 @@ object OpsLlm extends Suite {
     "llm_embed_ivf_topk" -> embedTopkSql,
     "llm_embed_ivf_persist" -> embedIvfPersistSql,
     "llm_embed_pq_recall" -> embedPqRecallSql,
+    "llm_shard_write" -> shardWriteSql,
     "llm_embed_exact_pairs" -> embedExactPairsSql,
     "llm_embed_label_purity" -> embedLabelPuritySql,
     "llm_semantic_dedup" -> semanticDedupSql,

@@ -58,6 +58,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("writeSharded: per-file cap, disjoint ordered ranges, lossless") {
+    import graft.operators.Scale
+    val dir = java.nio.file.Files.createTempDirectory("shard-spec")
+    try {
+      val keyed = (1 to 1200).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+      Scale.writeSharded(keyed, dir.toString, col("k"), 100)
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() == 1200)
+      val perFile = back.groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("c"), min($"k").as("lo"), max($"k").as("hi"))
+        .collect().sortBy(_.getAs[Long]("lo"))
+      assert(perFile.forall(_.getAs[Long]("c") <= 100))
+      assert(perFile.length >= 12) // ceil(1200/100)
+      perFile.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+            "file key ranges overlap")
+        case _ =>
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("prefixSum equals the sequential running total, any bucket count") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
