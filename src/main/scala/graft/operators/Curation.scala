@@ -535,6 +535,53 @@ object Curation {
       .drop("__es_key")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * train a smoothed unigram LM on a REFERENCE subset (`trainFilter` — the
+    * clean-corpus side; CCNet uses Wikipedia), score every document by
+    * per-token avg log-probability under that model (unseen words get the
+    * α-smoothed floor, so out-of-domain text scores low), and split the
+    * corpus into `buckets` fluency tiers — head/middle/tail for 3, the
+    * shape downstream mixing weights consume.
+    *
+    * Determinism/scale contract: scores round to 6 decimals BEFORE ranking
+    * (ln differs in last ulps across engines; ranking must see identical
+    * keys), the global fluency rank runs through [[Scale.prefixSum]]'s
+    * bucketed two-level form (no single-partition window — the classic
+    * trap at corpus scale), and the tier is the explicit formula
+    * 1 + (rank−1)·buckets div n, identical on any engine. The rank
+    * surrogate `round(−fluency,6)·10¹² + id` preserves order because
+    * rounded keys are ≥ 10⁻⁶ apart — 10⁶ id headroom per fluency value. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        trainFilter: Column, alpha: Double = 1.0,
+                        buckets: Int = 3): DataFrame = {
+    require(alpha > 0 && buckets > 1, "alpha > 0 and buckets > 1 required")
+    def toks(d: DataFrame) = d.select(col(idCol),
+        explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0)
+    val cnt = toks(df.filter(trainFilter))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val tf = toks(df).groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(cnt, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(
+        (coalesce(col("c"), lit(0L)) + lit(alpha)) /
+          (col("n") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * col("lp")) / sum(col("tf")), 6)
+        .as("fluency"))
+    val ranked = Scale.prefixSum(scored,
+      -col("fluency") * lit(1e12) + col(idCol), lit(1L), "rank")
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      // integer `div` (not `/`, which is a double division in Spark SQL)
+      .withColumn("bucket",
+        expr(s"1 + (rank - 1) * $buckets div n_docs"))
+      .select(col(idCol), col("fluency"), col("bucket"))
+  }
+
   def epochShuffle(df: DataFrame, id: Column, seed: String): DataFrame = {
     val keyed = df
       .withColumn("__k", md5(concat(lit(seed), lit(":"), id.cast("string"))))

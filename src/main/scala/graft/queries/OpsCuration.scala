@@ -134,6 +134,46 @@ object OpsCuration extends Suite {
       |  ORDER BY k DESC, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  // -- CCNet-style perplexity buckets: unigram LM trained on the 'en'
+  //    reference subset, every doc scored under it (OOV words hit the
+  //    smoothed floor), corpus split into head/middle/tail fluency tiers.
+  //    Scores round BEFORE ranking (identical keys both engines); the
+  //    global rank is the bucketed prefix sum on Spark vs a plain
+  //    row_number in DuckDB — two different rank algorithms agreeing
+  //    exactly; the tier formula 1 + (rn-1)*3 div n is explicit on both. -
+  private val ccnetBuckets: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.perplexityBuckets(
+        t.documents.select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", trainFilter = col("lang") === "en",
+        alpha = 1.0, buckets = 3)
+      .orderBy(col("doc_id"))
+  }
+  private val ccnetBucketsSql =
+    """WITH train AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents WHERE lang = 'en'),
+      |cnt AS (SELECT w, count(*) AS c FROM train
+      |        WHERE length(w) > 0 GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0 GROUP BY doc_id, w),
+      |lp AS (SELECT doc_id,
+      |    round(sum(tf * ln((coalesce(c, 0) + 1.0) / (n + 1.0 * v)))
+      |          / sum(tf), 6) AS fluency
+      |  FROM tf LEFT JOIN cnt USING (w), tot
+      |  GROUP BY doc_id),
+      |r AS (SELECT doc_id, fluency,
+      |    row_number() OVER (ORDER BY fluency DESC, doc_id) AS rn,
+      |    count(*) OVER () AS n_docs
+      |  FROM lp)
+      |SELECT doc_id, fluency,
+      |  CAST(1 + (rn - 1) * 3 // n_docs AS BIGINT) AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // -- epoch shuffle: deterministic global permutation keyed by seed; the
   //    rank is computed via 256 hash-prefix buckets + offsets (no global
   //    window), the oracle via a plain global row_number — two different
@@ -717,6 +757,7 @@ object OpsCuration extends Suite {
     "llm_balance_mix" -> balanceMix,
     "llm_epoch_shuffle" -> epochShuffle,
     "llm_temperature_mix" -> temperatureMix,
+    "llm_ccnet_buckets" -> ccnetBuckets,
     "llm_weighted_sample" -> weightedSample,
     "llm_lm_score" -> lmScore,
     "llm_lm_bigram" -> lmBigram,
@@ -741,6 +782,7 @@ object OpsCuration extends Suite {
     "llm_balance_mix" -> balanceMixSql,
     "llm_epoch_shuffle" -> epochShuffleSql,
     "llm_temperature_mix" -> temperatureMixSql,
+    "llm_ccnet_buckets" -> ccnetBucketsSql,
     "llm_weighted_sample" -> weightedSampleSql,
     "llm_lm_score" -> lmScoreSql,
     "llm_lm_bigram" -> lmBigramSql,

@@ -337,6 +337,27 @@ class CurationSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("perplexityBuckets: reference-like text heads, gibberish tails") {
+    val clean = "the cat sat on the mat and the dog ran to the park"
+    val docs = Seq(
+      (1L, clean, "en"),                        // in-domain (trains the LM)
+      (2L, "the cat ran to the mat", "en"),     // in-domain words
+      (3L, "zxqv wqpo mnbv asdf qwer zzzz", "de"), // all OOV -> floor
+      (4L, clean + " " + clean, "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.Curation.perplexityBuckets(docs, "doc_id",
+        "text", trainFilter = col("lang") === "en", buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // gibberish scores strictly lowest and lands in the tail bucket
+    assert(out(3L)._1 < out.filterKeys(_ != 3L).values.map(_._1).min)
+    assert(out(3L)._2 == 2L)
+    // every doc is assigned a bucket in range
+    assert(out.values.forall(b => b._2 >= 1L && b._2 <= 2L))
+    // buckets are balanced: 4 docs, 2 tiers -> 2 docs each
+    assert(out.values.count(_._2 == 1L) == 2)
+  }
+
   test("gopherFilters: each rule rejects its crafted violation") {
     val docs = Seq(
       (0L, "the morning light rises slowly across the quiet valley floor " +

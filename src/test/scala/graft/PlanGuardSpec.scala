@@ -34,6 +34,9 @@ class PlanGuardSpec extends SparkSpec {
                                      // under dots + both norm joins, so the
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
+    "llm_ccnet_buckets" -> 4,        // two 1-row scalar crosses (LM totals
+                                     // n/v and the n_docs count), printed
+                                     // repeatedly under shared subtrees
     "llm_embed_pq_recall" -> 4,      // broadcast ADC lut batch (5 rows by
                                      // contract) + exact-baseline query
                                      // broadcast + 2 summary-row crosses
@@ -47,6 +50,7 @@ class PlanGuardSpec extends SparkSpec {
   // input that is bounded by construction (a prior aggregate / top-k), so
   // the single-partition window never sees an unbounded stream
   private val globalWindowAllowed: Map[String, Int] = Map(
+    "llm_ccnet_buckets" -> 1,  // Scale.prefixSum's 64-row bucket offsets
     "llm_epoch_shuffle" -> 1,  // offsets over the 256-row bucket aggregate
     "llm_pack_sequences" -> 1, // Scale.prefixSum's 64-row bucket offsets
     "llm_token_budget" -> 1,   // Scale.prefixSum's 64-row bucket offsets
