@@ -535,6 +535,107 @@ object Curation {
       .drop("__es_key")
   }
 
+  /** Distributed BPE merge training (Sennrich et al., ACL 2016): the
+    * classic byte-pair-encoding trainer re-expressed Spark-first. State is
+    * the corpus WORD-FREQUENCY table (the original algorithm's working
+    * set — corpus-scale text collapses to vocabulary-scale rows in one
+    * aggregation), each word a symbol array starting as characters. Per
+    * merge step: adjacent-pair frequencies via one map-side-combined
+    * aggregation (zip_with over the symbol array, weighted by word
+    * frequency), the argmax pair (ties: lexicographic — deterministic
+    * across runs and engines) is ONE collected row, and the merge applies
+    * distributively through the fused [[graft.expressions.BpeMerge]]
+    * kernel. The evolving vocabulary persists per step (previous step
+    * unpersisted) so iteration k never replays steps 1..k-1.
+    *
+    * 100 TB shape: one pass over the corpus builds the word-freq table;
+    * every subsequent job touches only vocabulary-scale data. Driver
+    * memory holds exactly `numMerges` merge rows. Stops early when the
+    * best pair's frequency falls below `minPairFreq`.
+    *
+    * Returns the ordered merge table (step, left, right, pair_freq). */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               minPairFreq: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges=$numMerges must be positive")
+    val spark = df.sparkSession
+    val words = df.select(
+        explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word").isNotNull && length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // "(?!^)" splits between every character without a leading empty token.
+    // localCheckpoint (not persist): each step's plan must TRUNCATE at the
+    // materialized vocabulary — a persist chain keeps the full logical
+    // lineage, whose nested cached-plan rendering grows exponentially with
+    // the step count (the same reason the connected-components loop
+    // checkpoints per iteration).
+    var syms = words
+      // Spark's split keeps the trailing empty match (limit = -1) — drop it
+      .select(col("freq"),
+        array_remove(split(col("word"), "(?!^)"), "").as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = syms.filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getAs[Long]("pf") < minPairFreq) {
+        done = true
+      } else {
+        val l = top(0).getAs[String]("l")
+        val r = top(0).getAs[String]("r")
+        merges += ((step, l, r, top(0).getAs[Long]("pf")))
+        val mergedCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.BpeMerge(
+            org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+              spark, syms("s")), l, r))
+        syms = syms.select(col("freq"), mergedCol.as("s")).localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "pair_freq")
+  }
+
+  /** Encode with a trained merge list: per distinct WORD, characters fold
+    * through the ordered merges (vocabulary-scale work, one [[BpeMerge]]
+    * pass per merge), then documents re-assemble their subword stream by
+    * joining words to the dictionary and sorting on word position —
+    * corpus-scale work is one explode + one join + one bounded per-doc
+    * sort, never per-merge. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val positioned = df.select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "word")))
+      .filter(col("word").isNotNull && length(col("word")) > 0)
+    val vocab = positioned.select(col("word")).distinct()
+      .withColumn("s", array_remove(split(col("word"), "(?!^)"), ""))
+    val encoded = merges.foldLeft(vocab) { case (v, (l, r)) =>
+      val m = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.BpeMerge(
+          org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+            spark, v("s")), l, r))
+      v.select(col("word"), m.as("s"))
+    }
+    positioned.join(encoded, "word")
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("s"))))
+        .getField("s")).as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).as("n_bpe_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
     * train a smoothed unigram LM on a REFERENCE subset (`trainFilter` — the
@@ -556,14 +657,19 @@ object Curation {
                         trainFilter: Column, alpha: Double = 1.0,
                         buckets: Int = 3): DataFrame = {
     require(alpha > 0 && buckets > 1, "alpha > 0 and buckets > 1 required")
-    def toks(d: DataFrame) = d.select(col(idCol),
+    // ONE tokenization pass: the train-side counts derive from the same
+    // (doc, word) term-frequency table via the per-doc train flag — the
+    // corpus text is exploded and shuffled once, not once per model side
+    val toks = df.select(col(idCol), trainFilter.as("__train"),
         explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(col("w").isNotNull && length(col("w")) > 0)
-    val cnt = toks(df.filter(trainFilter))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // tf feeds both the train-side counts and the scoring join — persist
+    val tf = Dedup.reuse(s"ppl:tf:$idCol:$textCol",
+      toks.groupBy(col(idCol), col("w"))
+        .agg(count(lit(1)).as("tf"), max(col("__train")).as("__train")))
+    val cnt = tf.filter(col("__train"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("c"))
     val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val tf = toks(df).groupBy(col(idCol), col("w"))
-      .agg(count(lit(1)).as("tf"))
     val scored = tf.join(cnt, Seq("w"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("lp", log(

@@ -134,6 +134,20 @@ object OpsCuration extends Suite {
       |  ORDER BY k DESC, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  // -- BPE merge training (rows-only: the merge sequence is an iterative
+  //    argmax-dependent rewrite no single SQL statement can replay;
+  //    exactness is gated in BpeSpec against the hand-computed classic
+  //    corpus, plus the non-increasing-frequency invariant). The trainer's
+  //    distributed contract: corpus collapses to the word-frequency table
+  //    in one aggregation; every merge step is one map-side-combined pair
+  //    count plus ONE collected argmax row. ------------------------------
+  private val bpeMerges: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.bpeTrain(t.documents.select(col("text")), "text",
+        numMerges = 30)
+      .orderBy(col("step"))
+  }
+
   // -- CCNet-style perplexity buckets: unigram LM trained on the 'en'
   //    reference subset, every doc scored under it (OOV words hit the
   //    smoothed floor), corpus split into head/middle/tail fluency tiers.
@@ -758,6 +772,7 @@ object OpsCuration extends Suite {
     "llm_epoch_shuffle" -> epochShuffle,
     "llm_temperature_mix" -> temperatureMix,
     "llm_ccnet_buckets" -> ccnetBuckets,
+    "llm_bpe_merges" -> bpeMerges,
     "llm_weighted_sample" -> weightedSample,
     "llm_lm_score" -> lmScore,
     "llm_lm_bigram" -> lmBigram,
