@@ -148,6 +148,47 @@ object OpsCuration extends Suite {
       .orderBy(col("step"))
   }
 
+  // -- BPE encoding under a FIXED merge list — hash-exact: with literal
+  //    merges the DuckDB oracle replays every merge as a space-guarded
+  //    chained replace over the char stream, which implements the same
+  //    leftmost non-overlapping semantics as the BpeMerge kernel. The
+  //    Spark side does vocabulary-scale merge application + one
+  //    corpus-scale reassembly; a single misplaced merge diverges the
+  //    token signature. -------------------------------------------------
+  private val bpeFixedMerges = Seq("e" -> "r", "o" -> "r", "i" -> "n",
+    "o" -> "w", "s" -> "t", "er" -> "s")
+  private val bpeEncode: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.bpeEncode(t.documents.select(col("doc_id"), col("text")),
+        "doc_id", "text", bpeFixedMerges)
+      .select(col("doc_id"),
+        array_join(col("tokens"), " ").as("tokens_sig"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  private val bpeEncodeSql = {
+    val chain = bpeFixedMerges.foldLeft("s") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    s"""WITH words AS (
+      |  SELECT doc_id, i,
+      |    list_extract(string_split_regex(lower(trim(text)), '\\s+'),
+      |      CAST(i AS INT)) AS word
+      |  FROM documents,
+      |    unnest(generate_series(1,
+      |      len(string_split_regex(lower(trim(text)), '\\s+')))) AS t(i)),
+      |enc AS (
+      |  SELECT doc_id, i, trim($chain) AS e FROM (
+      |    SELECT doc_id, i,
+      |      ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+      |        AS s
+      |    FROM words WHERE length(word) > 0))
+      |SELECT doc_id, string_agg(e, ' ' ORDER BY i) AS tokens_sig,
+      |  CAST(len(string_split(string_agg(e, ' ' ORDER BY i), ' '))
+      |    AS BIGINT) AS n_bpe_tokens
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -- CCNet-style perplexity buckets: unigram LM trained on the 'en'
   //    reference subset, every doc scored under it (OOV words hit the
   //    smoothed floor), corpus split into head/middle/tail fluency tiers.
@@ -773,6 +814,7 @@ object OpsCuration extends Suite {
     "llm_temperature_mix" -> temperatureMix,
     "llm_ccnet_buckets" -> ccnetBuckets,
     "llm_bpe_merges" -> bpeMerges,
+    "llm_bpe_encode" -> bpeEncode,
     "llm_weighted_sample" -> weightedSample,
     "llm_lm_score" -> lmScore,
     "llm_lm_bigram" -> lmBigram,
@@ -798,6 +840,7 @@ object OpsCuration extends Suite {
     "llm_epoch_shuffle" -> epochShuffleSql,
     "llm_temperature_mix" -> temperatureMixSql,
     "llm_ccnet_buckets" -> ccnetBucketsSql,
+    "llm_bpe_encode" -> bpeEncodeSql,
     "llm_weighted_sample" -> weightedSampleSql,
     "llm_lm_score" -> lmScoreSql,
     "llm_lm_bigram" -> lmBigramSql,
