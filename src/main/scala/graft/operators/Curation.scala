@@ -670,14 +670,18 @@ object Curation {
     val cnt = tf.filter(col("__train"))
       .groupBy(col("w")).agg(sum(col("tf")).as("c"))
     val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val scored = tf.join(cnt, Seq("w"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("lp", log(
-        (coalesce(col("c"), lit(0L)) + lit(alpha)) /
-          (col("n") + lit(alpha) * col("v"))))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("tf") * col("lp")) / sum(col("tf")), 6)
-        .as("fluency"))
+    // scored is doc-level (narrow) but consumed four times downstream —
+    // prefixSum's bounds/offsets/main passes plus the n_docs count; without
+    // this persist each consumer re-aggregates the (doc, word) table
+    val scored = Dedup.reuse(s"ppl:scored:$idCol:$textCol",
+      tf.join(cnt, Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", log(
+          (coalesce(col("c"), lit(0L)) + lit(alpha)) /
+            (col("n") + lit(alpha) * col("v"))))
+        .groupBy(col(idCol))
+        .agg(round(sum(col("tf") * col("lp")) / sum(col("tf")), 6)
+          .as("fluency")))
     val ranked = Scale.prefixSum(scored,
       -col("fluency") * lit(1e12) + col(idCol), lit(1L), "rank")
     val n = scored.agg(count(lit(1)).as("n_docs"))

@@ -1466,6 +1466,30 @@ object OpsLlm extends Suite {
       |    END AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- multimodal resize: payload truncation + metadata co-update — the
+  //    content/meta contract is SQL-expressible (deterministic byte
+  //    truncation, constant target dims), so unlike the stubbed decode it
+  //    gets a full hex-space oracle like the frames gate. ------------------
+  private val multimodalResize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val media = Multimodal.syntheticMedia(
+      t.documents.select(col("doc_id"), col("text")), "text")
+    Multimodal.resize(media, "content", "meta", targetW = 16, targetH = 4)
+      .select(col("doc_id"), hex(col("content")).as("content_hex"),
+        col("meta.kind").as("kind"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+  private val multimodalResizeSql =
+    """SELECT doc_id,
+      |  substring(hex(encode(text)), 1, 128) AS content_hex,
+      |  'image' AS kind, CAST(16 AS BIGINT) AS width,
+      |  CAST(4 AS BIGINT) AS height,
+      |  CAST(length(text) * 20 AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_text_stats" -> textStats,
     "llm_lang_id" -> langId,
@@ -1511,6 +1535,7 @@ object OpsLlm extends Suite {
     "llm_multimodal_features" -> multimodal,
     "llm_multimodal_frames" -> multimodalFrames,
     "llm_multimodal_headers" -> multimodalHeaders,
+    "llm_multimodal_resize" -> multimodalResize,
     "llm_vocab_topk" -> vocabTopk,
     "llm_compress_ratio" -> compressRatio,
     "llm_token_budget" -> tokenBudget)
@@ -1558,6 +1583,7 @@ object OpsLlm extends Suite {
     "llm_dedup_simhash_recall" -> dedupSimhashRecallSql,
     "llm_multimodal_frames" -> multimodalFramesSql,
     "llm_multimodal_headers" -> multimodalHeadersSql,
+    "llm_multimodal_resize" -> multimodalResizeSql,
     "llm_vocab_topk" -> vocabTopkSql,
     "llm_compress_ratio" -> compressRatioSql,
     "llm_token_budget" -> tokenBudgetSql)

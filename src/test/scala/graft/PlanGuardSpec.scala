@@ -34,9 +34,12 @@ class PlanGuardSpec extends SparkSpec {
                                      // under dots + both norm joins, so the
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
-    "llm_ccnet_buckets" -> 4,        // two 1-row scalar crosses (LM totals
-                                     // n/v and the n_docs count), printed
-                                     // repeatedly under shared subtrees
+    "llm_ccnet_buckets" -> 8,        // two 1-row scalar crosses (LM totals
+                                     // n/v and the n_docs count); the
+                                     // persisted scored set renders its
+                                     // cached subtree under several
+                                     // consumers, multiplying the PRINTED
+                                     // occurrences (one execution each)
     "llm_embed_pq_recall" -> 4,      // broadcast ADC lut batch (5 rows by
                                      // contract) + exact-baseline query
                                      // broadcast + 2 summary-row crosses
