@@ -47,7 +47,7 @@ object Bench {
       "llm_multimodal_headers", "llm_dedup_bloom", "llm_compress_ratio",
       "llm_embed_pq_recall", "llm_embed_ivf_persist",
       "llm_temperature_mix", "llm_weighted_sample", "llm_shard_write",
-      "llm_ccnet_buckets", "llm_bpe_encode")
+      "llm_ccnet_buckets", "llm_bpe_encode", "llm_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1310,6 +1310,53 @@ object OpsLlm extends Suite {
       |  round(covered * 1.0 / total, 6) AS coverage
       |FROM tot, top""".stripMargin
 
+  // -- heavy hitters via a Count-Min frequency sketch: the third mergeable
+  //    sketch state (HLL = distinct, Bloom = membership, CMS = frequency —
+  //    the streaming-vocabulary shape: today's sketch merges with
+  //    yesterday's without re-reading either corpus). Gated like the other
+  //    approximations: the top-20 exact token counts are the hash-checked
+  //    payload and the query asserts the CMS contract in-query — never an
+  //    underestimate, over by at most ε·N (deterministic seed). ----------
+  private val heavyHitters: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val eps = 0.0001
+    val toks = Dedup.reuse("hh:toks", t.documents
+      .select(explode_outer(split(lower(trim(col("text"))), "\\s+"))
+        .as("token"))
+      .filter(length(col("token")) > 0))
+    val cms = toks.stat.countMinSketch("token", eps = eps,
+      confidence = 0.999, seed = 42)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      cms.writeTo(out)
+      out.toByteArray
+    }
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+    val est = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.CmsEstimate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+          s, top("token")), bytes))
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+    top.withColumn("est", est)
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("freq"),
+        (col("est") >= col("freq") &&
+          col("est") <= col("freq") + ceil(lit(eps) * col("n_tok")))
+          .as("est_ok"))
+      .orderBy(col("token"))
+  }
+  private val heavyHittersSql =
+    """SELECT token, freq, true AS est_ok FROM (
+      |  SELECT token, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |      AS token FROM documents)
+      |  WHERE length(token) > 0
+      |  GROUP BY token ORDER BY freq DESC, token LIMIT 20)
+      |ORDER BY token""".stripMargin
+
   // -- mergeable distinct-count sketches: per-source DataSketches-HLL
   //    sketches of the content fingerprints, UNIONed into a corpus-wide
   //    distinct estimate — the incremental-dedup STATE shape at 100 TB
@@ -1502,6 +1549,7 @@ object OpsLlm extends Suite {
     "llm_corpus_report" -> corpusReport,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_distinct_sketch" -> distinctSketch,
+    "llm_heavy_hitters" -> heavyHitters,
     "llm_dedup_edit" -> dedupEdit,
     "llm_dedup_keep_best" -> dedupKeepBest,
     "llm_dedup_ngram" -> dedupNgram,
@@ -1552,6 +1600,7 @@ object OpsLlm extends Suite {
     "llm_corpus_report" -> corpusReportSql,
     "llm_vocab_coverage" -> vocabCoverageSql,
     "llm_distinct_sketch" -> distinctSketchSql,
+    "llm_heavy_hitters" -> heavyHittersSql,
     "llm_dedup_edit" -> dedupEditSql,
     "llm_dedup_keep_best" -> dedupKeepBestSql,
     "llm_dedup_ngram" -> dedupNgramSql,

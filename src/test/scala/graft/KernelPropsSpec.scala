@@ -82,6 +82,64 @@ class KernelPropsSpec extends SparkSpec {
     }
   }
 
+  // ---- CmsEstimate -------------------------------------------------------
+
+  test("CmsEstimate: never underestimates, bounded over, merge = whole") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rnd = new scala.util.Random(99)
+    val items = (1 to 5000).map(_ => s"tok${rnd.nextInt(300)}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val eps = 0.001
+    val whole = CountMinSketch.create(eps, 0.999, 42)
+    items.foreach(whole.add)
+    // mergeable-state contract: two half-corpus sketches merged in place
+    // give the same estimates as one whole-corpus sketch (same seed)
+    val (h1, h2) = items.splitAt(items.length / 2)
+    val a = CountMinSketch.create(eps, 0.999, 42)
+    val b = CountMinSketch.create(eps, 0.999, 42)
+    h1.foreach(a.add); h2.foreach(b.add)
+    a.mergeInPlace(b)
+    val bytes = { val o = new java.io.ByteArrayOutputStream()
+      whole.writeTo(o); o.toByteArray }
+    val probe = graft.expressions.CmsEstimate(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType), bytes)
+    exact.foreach { case (tok, freq) =>
+      val est = probe.estimate(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+      assert(est >= freq, s"$tok underestimated")
+      assert(est <= freq + math.ceil(eps * items.length).toLong + 1,
+        s"$tok overestimated beyond the eps*N bound")
+      assert(est == a.estimateCount(tok), s"$tok merged != whole")
+    }
+  }
+
+  test("CmsEstimate expression under forced codegen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq("x", "x", "x", "y").toDF("t")
+      val cms = df.stat.countMinSketch("t", eps = 0.01,
+        confidence = 0.99, seed = 7)
+      val bytes = { val o = new java.io.ByteArrayOutputStream()
+        cms.writeTo(o); o.toByteArray }
+      val est = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.CmsEstimate(
+          org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+            spark, df("t")), bytes))
+      val rows = df.distinct().withColumn("e", est)
+        .orderBy($"t").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows(0)._2 >= 3L && rows(1)._2 >= 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   // ---- MediaHeaders ------------------------------------------------------
 
   private val genDims: Gen[(Int, Int)] = for {

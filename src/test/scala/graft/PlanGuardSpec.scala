@@ -40,6 +40,7 @@ class PlanGuardSpec extends SparkSpec {
                                      // cached subtree under several
                                      // consumers, multiplying the PRINTED
                                      // occurrences (one execution each)
+    "llm_heavy_hitters" -> 1,        // 1-row total-token-count aggregate
     "llm_embed_pq_recall" -> 4,      // broadcast ADC lut batch (5 rows by
                                      // contract) + exact-baseline query
                                      // broadcast + 2 summary-row crosses
