@@ -861,7 +861,8 @@ object Dedup {
     * iteration is two joins + a min-aggregate; convergence is verified
     * with a cheap count and failure to converge within `maxIter` raises
     * rather than returning wrong labels. */
-  def clusterLabels(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 15,
+                    maxDriverEdges: Long = 2000000L): DataFrame = {
     // undirected edge list, both directions — checkpointed ONCE: every
     // iteration joins against it, and without truncation each round would
     // re-evaluate the full upstream pair-generation plan (shingling/LSH/
@@ -870,6 +871,56 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // Size-gated driver fast path — the same bounded-by-contract driver
+    // math class as broadcast-join decisions and the k-means training
+    // sample: near-dup PAIR graphs are orders of magnitude smaller than
+    // their corpora (only documents with a near-duplicate appear at all),
+    // and below the cap (default 2M directed edges ≈ 32 MB) a single
+    // union-find pass replaces ~log(diameter) distributed iterations of
+    // 3-4 jobs each. Same result by construction: label = min id of the
+    // component, identical to the pointer-jumping fixpoint. Above the cap
+    // the distributed loop below is THE path — nothing corpus-sized ever
+    // reaches the driver.
+    val nDirected = edges.count()
+    if (nDirected <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val rows = edges.collect()
+      rows.foreach { r =>
+        val (a, b) = (find(r.get(0)), find(r.get(1)))
+        if (a != b) parent.put(a, b)
+      }
+      // second pass: min member per component, every member labeled with it
+      val minOf = new java.util.HashMap[Any, Any]()
+      val members = new java.util.HashSet[Any]()
+      rows.foreach { r => members.add(r.get(0)); members.add(r.get(1)) }
+      members.forEach { m =>
+        val root = find(m)
+        val cur = minOf.get(root)
+        if (cur == null ||
+            m.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+          minOf.put(root, m)
+      }
+      val idType = edges.schema("src").dataType
+      val out = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](members.size)
+      members.forEach(m =>
+        out += org.apache.spark.sql.Row(m, minOf.get(find(m))))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("label", idType))))
+    }
     // localCheckpoint (eager) per iteration: an iterative dataflow that
     // feeds each result back into the next plan grows its LOGICAL plan
     // exponentially (labels appears ~4× per step here) — analysis itself

@@ -223,19 +223,36 @@ class LlmOpsSpec extends SparkSpec {
 
   test("clusterLabels converges on a long chain (pointer jumping)") {
     // a 40-node path graph: plain one-hop min propagation would need 39
-    // iterations; pointer jumping must collapse it within the default cap
+    // iterations; pointer jumping must collapse it within the default cap.
+    // maxDriverEdges = 0 FORCES the distributed loop — the default would
+    // take the size-gated union-find fast path on a graph this small
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.clusterLabels(chain)
+    val labels = Dedup.clusterLabels(chain, maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 40)
     assert(labels.values.forall(_ == 0L)) // one component, min id 0
     // two disjoint chains stay separate
     val two = chain.unionAll(
       (100L until 110L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
-    val l2 = Dedup.clusterLabels(two)
+    val l2 = Dedup.clusterLabels(two, maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 39L).forall(l2(_) == 0L))
     assert((100L to 110L).forall(l2(_) == 100L))
+  }
+
+  test("clusterLabels driver fast path equals the distributed loop") {
+    val rnd = new scala.util.Random(55)
+    // random graph with chains, triangles, singleton-free edge soup
+    val pairs = ((0 until 120).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    } ++ (200L until 210L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.clusterLabels(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.clusterLabels(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == dist)
   }
 
   test("simhash: identical texts collide, near dups within hamming 3") {
