@@ -329,8 +329,11 @@ object OpsCuration extends Suite {
     // child plan is what lets persistScoped share one shingle/prefix
     // cache across queries (a projected copy would be a different plan —
     // the cache would rebuild AND evict the shared entry)
-    val pairs = Dedup.prefixJaccardPairs(t.documents, "doc_id", "text",
-      n = 3, threshold = 0.8)
+    // the pair set feeds BOTH direction branches of the CC edge list —
+    // persist so the verify tail of the prefix join runs once, not twice
+    val pairs = Dedup.reuse("v2:pairs",
+      Dedup.prefixJaccardPairs(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.8))
     val surv = Dedup.survivors(
       t.documents.select(col("doc_id"), col("lang"), col("n_chars")),
       pairs, "doc_id")
