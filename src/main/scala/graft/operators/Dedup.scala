@@ -867,9 +867,13 @@ object Dedup {
     // iteration joins against it, and without truncation each round would
     // re-evaluate the full upstream pair-generation plan (shingling/LSH/
     // IVF + rescore — the dominant cost of the whole operator, paid
-    // maxIter times). The materialized blocks are two longs per edge.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // maxIter times). Both directions come from ONE explode pass, not a
+    // self-union: the union form evaluated the (expensive) pair plan once
+    // per branch inside the materialization job.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     // Size-gated driver fast path — the same bounded-by-contract driver
     // math class as broadcast-join decisions and the k-means training
