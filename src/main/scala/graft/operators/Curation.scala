@@ -519,7 +519,11 @@ object Curation {
     * u ∈ (0,1) of its id and keys on u^(1/w); the global top-k by key is a
     * weighted sample — inclusion probability rises with `weight`, no
     * sequential state. Deterministic by construction (no RNG), so engines
-    * and re-runs agree exactly.
+    * and re-runs agree exactly. The key rounds to 12 decimals BEFORE
+    * ranking: pow is a transcendental that libm implementations only
+    * guarantee to ~1 ulp, so ranking must see identical keys on every
+    * engine (same discipline as [[perplexityBuckets]]'s rounded fluency);
+    * the id tiebreak then pins ties deterministically.
     *
     * Scale: the top-k is a plain orderBy+limit, which Spark plans as
     * TakeOrderedAndProject — per-partition k-heaps then a k-merge, no
@@ -529,7 +533,7 @@ object Curation {
     require(k > 0, s"k=$k must be positive")
     val u = (sampleBucket(id, salt).cast("double") + lit(0.5)) /
       lit(4294967296.0)
-    df.withColumn("__es_key", pow(u, lit(1.0) / weight))
+    df.withColumn("__es_key", round(pow(u, lit(1.0) / weight), 12))
       .orderBy(col("__es_key").desc, id)
       .limit(k)
       .drop("__es_key")
@@ -652,7 +656,9 @@ object Curation {
     * trap at corpus scale), and the tier is the explicit formula
     * 1 + (rank−1)·buckets div n, identical on any engine. The rank
     * surrogate `round(−fluency,6)·10¹² + id` preserves order because
-    * rounded keys are ≥ 10⁻⁶ apart — 10⁶ id headroom per fluency value. */
+    * rounded keys are ≥ 10⁻⁶ apart — 10⁶ id headroom per fluency value;
+    * an in-query raise_error guard on max(id) enforces that bound rather
+    * than letting the packing go silently wrong past it. */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
                         trainFilter: Column, alpha: Double = 1.0,
                         buckets: Int = 3): DataFrame = {
@@ -684,11 +690,22 @@ object Curation {
           .as("fluency")))
     val ranked = Scale.prefixSum(scored,
       -col("fluency") * lit(1e12) + col(idCol), lit(1L), "rank")
-    val n = scored.agg(count(lit(1)).as("n_docs"))
+    // the 1-row aggregate also carries max(id): the rank surrogate packs
+    // (rounded fluency, id) into one double and only preserves order while
+    // ids stay below the 1e6 headroom between adjacent rounded fluency
+    // values — past that the packing is silently wrong, so the query FAILS
+    // LOUDLY instead (the guard rides the bucket expression, which is in
+    // the output and therefore never pruned)
+    val n = scored.agg(count(lit(1)).as("n_docs"),
+      max(col(idCol).cast("double")).as("max_id"))
     ranked.crossJoin(broadcast(n))
       // integer `div` (not `/`, which is a double division in Spark SQL)
       .withColumn("bucket",
-        expr(s"1 + (rank - 1) * $buckets div n_docs"))
+        expr(s"""CASE WHEN max_id >= 1e6 THEN CAST(raise_error(
+             |'perplexityBuckets: id exceeds the 1e6 rank-surrogate
+             | headroom; rank on a composite key instead') AS BIGINT)
+             |ELSE 1 + (rank - 1) * $buckets div n_docs END"""
+          .stripMargin.replace("\n", "")))
       .select(col(idCol), col("fluency"), col("bucket"))
   }
 

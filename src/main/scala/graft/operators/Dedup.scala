@@ -903,16 +903,27 @@ object Dedup {
         val (a, b) = (find(r.get(0)), find(r.get(1)))
         if (a != b) parent.put(a, b)
       }
-      // second pass: min member per component, every member labeled with it
+      // second pass: min member per component, every member labeled with
+      // it. "Min" must agree with the distributed path's min()/least(),
+      // which orders strings as UTF8String (UTF-8 byte / code-point
+      // order) — java.lang.String.compareTo is UTF-16 code-unit order and
+      // diverges for chars >= U+E000 vs supplementary characters, which
+      // would make the canonical label depend on which side of the
+      // maxDriverEdges gate a run lands.
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       val minOf = new java.util.HashMap[Any, Any]()
       val members = new java.util.HashSet[Any]()
       rows.foreach { r => members.add(r.get(0)); members.add(r.get(1)) }
       members.forEach { m =>
         val root = find(m)
         val cur = minOf.get(root)
-        if (cur == null ||
-            m.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
-          minOf.put(root, m)
+        if (cur == null || lt(m, cur)) minOf.put(root, m)
       }
       val idType = edges.schema("src").dataType
       val out = new scala.collection.mutable.ArrayBuffer[

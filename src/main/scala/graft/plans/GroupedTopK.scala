@@ -149,8 +149,16 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
         // then first-k-per-contiguous-group — already-pruned heap contents
         // (≤ k per key, still a valid superset of the answer) plus the
         // remaining input all go through the sorter
-        val sortOrder = keyExprs.map(SortOrder(_, Ascending)) ++ so
+        val keyOrder = keyExprs.map(SortOrder(_, Ascending))
+        val sortOrder = keyOrder ++ so
         val fullOrdering = RowOrdering.create(sortOrder, out)
+        // group-boundary comparator over the key prefix ONLY: boundaries
+        // must be detected with the SAME ordering the sort used, not
+        // UnsafeRow binary equality — keys that are ordering-equal yet
+        // binary-distinct (-0.0 vs 0.0, NaN bit patterns) sort adjacent
+        // in arbitrary interleaving, and a binary-equality check would
+        // reset the per-group counter at each alternation and overshoot k
+        val keyOrdering = RowOrdering.create(keyOrder, out)
         val schema = org.apache.spark.sql.types.StructType(
           out.map(a => org.apache.spark.sql.types.StructField(
             a.name, a.dataType, a.nullable)))
@@ -183,15 +191,14 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
         while (iter.hasNext) sorter.insertRow(asUnsafe(iter.next()))
         val sorted = sorter.sort()
         new Iterator[InternalRow] {
-          private var curKey: UnsafeRow = null
+          private var curRow: UnsafeRow = null // stable copy of group rep
           private var taken = 0
           private var pending: InternalRow = null
           private def advance(): Unit = {
             while (pending == null && sorted.hasNext) {
               val row = sorted.next()
-              val key = keyProj(row)
-              if (curKey == null || key != curKey) {
-                curKey = key.copy(); taken = 1; pending = row
+              if (curRow == null || keyOrdering.compare(row, curRow) != 0) {
+                curRow = asUnsafe(row).copy(); taken = 1; pending = row
               } else if (taken < kk) { taken += 1; pending = row }
             }
           }

@@ -115,8 +115,10 @@ object OpsCuration extends Suite {
   // -- weighted sampling without replacement (Efraimidis–Spirakis A-ES):
   //    key = u^(1/w) on the deterministic md5-uniform, top-100 by key;
   //    weight = n_chars, so longer docs are proportionally likelier. The
-  //    plan is TakeOrderedAndProject (per-partition heaps), never a global
-  //    sort. ------------------------------------------------------------
+  //    key rounds to 12 decimals on BOTH engines before ranking (pow is
+  //    only ~1-ulp reproducible across libms; ranking must see identical
+  //    keys). The plan is TakeOrderedAndProject (per-partition heaps),
+  //    never a global sort. ---------------------------------------------
   private val weightedSample: Q = (s, dir) => {
     val t = Tables(s, dir)
     Curation.weightedSample(
@@ -127,9 +129,9 @@ object OpsCuration extends Suite {
   private val weightedSampleSql =
     s"""SELECT doc_id, n_chars FROM (
       |  SELECT doc_id, n_chars,
-      |    pow((CAST(('0x' || substr(md5('$salt'
+      |    round(pow((CAST(('0x' || substr(md5('$salt'
       |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-      |         / 4294967296.0, 1.0 / n_chars) AS k
+      |         / 4294967296.0, 1.0 / n_chars), 12) AS k
       |  FROM documents
       |  ORDER BY k DESC, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
@@ -149,12 +151,19 @@ object OpsCuration extends Suite {
   }
 
   // -- BPE encoding under a FIXED merge list — hash-exact: with literal
-  //    merges the DuckDB oracle replays every merge as a space-guarded
-  //    chained replace over the char stream, which implements the same
-  //    leftmost non-overlapping semantics as the BpeMerge kernel. The
-  //    Spark side does vocabulary-scale merge application + one
-  //    corpus-scale reassembly; a single misplaced merge diverges the
-  //    token signature. -------------------------------------------------
+  //    merges the DuckDB oracle replays every merge as a chained replace
+  //    over a TWO-space-separated symbol stream. The separator width is
+  //    load-bearing: with single-space separators, consecutive pair
+  //    occurrences (XYXY runs, e.g. 'dining' under merge (i,n)) share the
+  //    guard space, so leftmost replace consumes the next occurrence's
+  //    leading guard and only alternate occurrences merge. With 2-space
+  //    separators the pattern ' l  r ' consumes ONE space of each guard,
+  //    leaving the other for the adjacent occurrence — replace then
+  //    implements exactly the BpeMerge kernel's leftmost non-overlapping
+  //    scan, and the ' lr ' replacement restores the 2-space invariant
+  //    for the next merge in the chain. The Spark side does
+  //    vocabulary-scale merge application + one corpus-scale reassembly;
+  //    a single misplaced merge diverges the token signature. -----------
   private val bpeFixedMerges = Seq("e" -> "r", "o" -> "r", "i" -> "n",
     "o" -> "w", "s" -> "t", "er" -> "s")
   private val bpeEncode: Q = (s, dir) => {
@@ -168,7 +177,7 @@ object OpsCuration extends Suite {
   }
   private val bpeEncodeSql = {
     val chain = bpeFixedMerges.foldLeft("s") { case (acc, (l, r)) =>
-      s"replace($acc, ' $l $r ', ' $l$r ')"
+      s"replace($acc, ' $l  $r ', ' $l$r ')"
     }
     s"""WITH words AS (
       |  SELECT doc_id, i,
@@ -178,9 +187,10 @@ object OpsCuration extends Suite {
       |    unnest(generate_series(1,
       |      len(string_split_regex(lower(trim(text)), '\\s+')))) AS t(i)),
       |enc AS (
-      |  SELECT doc_id, i, trim($chain) AS e FROM (
+      |  SELECT doc_id, i,
+      |    trim(regexp_replace($chain, ' +', ' ', 'g')) AS e FROM (
       |    SELECT doc_id, i,
-      |      ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+      |      '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  '
       |        AS s
       |    FROM words WHERE length(word) > 0))
       |SELECT doc_id, string_agg(e, ' ' ORDER BY i) AS tokens_sig,
