@@ -88,11 +88,12 @@ object Bench {
     // Measured passes per query, report the min: the first target-SF run
     // still pays residual JIT (C2 compilation of the big whole-stage-codegen
     // functions) and page-cache warming, which otherwise drowns the
-    // round-over-round perf signal in noise. Queries whose first measurement
-    // lands under 2s get a third pass — this box's run-to-run wobble
-    // (~±0.4s) is a large fraction of such readings, and one extra cheap
-    // pass makes sub-0.5s round-over-round deltas interpretable.
-    val basePasses = 2
+    // round-over-round perf signal in noise. Three passes for every query:
+    // cheap queries need the third because the box's ~±0.4s wobble is a
+    // large fraction of their readings, and the heaviest queries need it
+    // because min-of-2 is exactly where one contended pass distorts the
+    // minimum most.
+    val basePasses = 3
 
     // Contention sentinel: a fixed cheap query (tpch_q6 — one scan + one
     // agg, stable plan) timed immediately before and after the measured
@@ -118,7 +119,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
         }
         val first = onePass()
-        val passes = if (first >= 0 && first < 2.0) basePasses + 1 else basePasses
+        val passes = basePasses
         val times = first +: (2 to passes).map(_ => onePass())
         name -> (if (times.forall(_ >= 0)) (times.min, passes) else (-1.0, passes))
       }

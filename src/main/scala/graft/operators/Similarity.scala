@@ -29,6 +29,19 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Driver-side cosine over raw arrays, used by the IVF training /
+    * probe-planning paths (bounded centroid-matrix math only — never
+    * corpus-sized). Guarded: a zero-norm operand yields 0.0 rather than
+    * NaN, so degenerate vectors sort last instead of poisoning argmax. */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
+
   private def fastCosine(df: DataFrame)(a: Column, b: Column): Column =
     graft.expressions.VectorCosine.vecCosine(df.sparkSession, a, b)
 
@@ -183,14 +196,6 @@ object Similarity {
     require(train.nonEmpty,
       "ivfIndex: corpus is empty — no centroids can be seeded")
     var centroids: Array[Array[Double]] = train.take(nlist).map(_.clone())
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
-        nb += b(i) * b(i); i += 1 }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0) 0.0 else dot / d
-    }
     for (_ <- 1 to iters) {
       // argmax assignment (ties to the higher index, mirroring the
       // distributed struct-max tie-break), then plain mean update;
@@ -202,7 +207,7 @@ object Similarity {
         var best = 0; var bestC = Double.NegativeInfinity
         var i = 0
         while (i < centroids.length) {
-          val c = cos(x, centroids(i))
+          val c = cosArr(x, centroids(i))
           if (c >= bestC) { bestC = c; best = i }
           i += 1
         }
@@ -238,15 +243,8 @@ object Similarity {
     val qRows = query.select(col(qCol).cast("array<double>")).head(1)
     require(qRows.nonEmpty, "ivfTopKForQuery: query DataFrame is empty")
     val q = qRows.head.getSeq[Double](0).toArray
-    def cosine(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
-        nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probes = index.centroids.zipWithIndex
-      .map { case (c, i) => (cosine(q, c), i) }
+      .map { case (c, i) => (cosArr(q, c), i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
     index.assignments
       .filter(col("cluster").isin(probes.toSeq: _*))
@@ -269,13 +267,6 @@ object Similarity {
                    queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int = 4): DataFrame = {
     val spark = index.assignments.sparkSession
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
-        nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     // query batches are small by definition (same contract as topKBatch's
     // broadcast) — collecting them to plan the probe map is the IVF analog
     // of broadcasting the query side
@@ -285,7 +276,7 @@ object Similarity {
       val qid = r.get(0)
       val qv = r.getSeq[Double](1).toArray
       index.centroids.zipWithIndex
-        .map { case (c, i) => (cos(qv, c), i) }
+        .map { case (c, i) => (cosArr(qv, c), i) }
         .sortBy(-_._1).take(nprobe)
         .map { case (_, cl) =>
           org.apache.spark.sql.Row(qid, cl, qv.toSeq) }
