@@ -47,7 +47,12 @@ object Bench {
       "llm_multimodal_headers", "llm_dedup_bloom", "llm_compress_ratio",
       "llm_embed_pq_recall", "llm_embed_ivf_persist",
       "llm_temperature_mix", "llm_weighted_sample", "llm_shard_write",
-      "llm_ccnet_buckets", "llm_bpe_encode", "llm_heavy_hitters")
+      "llm_ccnet_buckets", "llm_bpe_encode", "llm_heavy_hitters",
+      // round-5 additions: REAL image decode (ImageIO pixel stats), the
+      // resample round trip, lossy-JPEG cross-check, and perceptual dHash
+      // near-dup detection
+      "llm_multimodal_features", "llm_image_resize", "llm_image_jpeg",
+      "llm_image_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

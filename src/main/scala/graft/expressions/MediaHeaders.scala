@@ -212,7 +212,25 @@ object MediaHeaders {
 
   /** Fully valid grayscale 8-bit PNG (signature, IHDR, deflated all-zero
     * IDAT, IEND — correct CRCs), decodable by any conformant reader. */
-  def buildPng(width: Int, height: Int): Array[Byte] = {
+  def buildPng(width: Int, height: Int): Array[Byte] =
+    buildPngFromPixels(width, height, (_, _) => 0)
+
+  /** Grayscale 8-bit PNG carrying the deterministic gradient
+    * pixel(x,y) = (a·x + b·y + c) mod 256. PNG is lossless, so a decoder
+    * recovers these exact values — pixel statistics over the image are
+    * plain arithmetic an independent engine can recompute, which is what
+    * makes the decode path ORACLE-gateable rather than stub-trusted. */
+  def buildPngGradient(width: Int, height: Int, a: Int, b: Int,
+                       c: Int): Array[Byte] = {
+    require(a >= 0 && b >= 0 && c >= 0, "gradient params must be >= 0")
+    buildPngFromPixels(width, height,
+      (x, y) => (a * x + b * y + c) % 256)
+  }
+
+  /** Grayscale 8-bit PNG from an arbitrary pixel function (row-major,
+    * values masked to 0..255). Filter type 0 on every row; single IDAT. */
+  def buildPngFromPixels(width: Int, height: Int,
+                         px: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, "png dims must be positive")
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig, 0, 8)
@@ -229,8 +247,18 @@ object MediaHeaders {
     ihdr(9) = 0 // color type: grayscale
     // 10..12: compression 0, filter 0, interlace 0
     chunk(out, "IHDR", ihdr)
-    // raw image: per row, 1 filter byte (0) + width zero samples
+    // raw image: per row, 1 filter byte (0) + width samples
     val raw = new Array[Byte](height * (width + 1))
+    var y = 0
+    while (y < height) {
+      val base = y * (width + 1) + 1 // +1 skips the row's filter byte
+      var x = 0
+      while (x < width) {
+        raw(base + x) = (px(x, y) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
     val deflater = new Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](8192)
@@ -242,6 +270,52 @@ object MediaHeaders {
     deflater.end()
     chunk(out, "IDAT", idat.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Grayscale PNG of deterministic hash noise: pixel(x,y) =
+    * mix(seed,x,y) mod 248 + shift, mix a splitmix64-style finalizer.
+    * The base lives in [0,248) and `shift` ≤ 8 never wraps, so
+    * adjacent-pixel COMPARISONS are invariant across shifts — two noise
+    * images that differ only in `shift` are byte-distinct brightness
+    * variants with an IDENTICAL dHash, the planted-near-duplicate shape
+    * the image-dedup gate needs (and, unlike gradients, hash noise gives
+    * near-uniform dHashes, so distinct seeds land far apart in Hamming
+    * space). */
+  def buildPngNoise(width: Int, height: Int, seed: Int,
+                    shift: Int): Array[Byte] = {
+    require(shift >= 0 && shift <= 8, s"shift=$shift must be in [0,8]")
+    buildPngFromPixels(width, height, (x, y) => {
+      var z = seed.toLong * 0x9E3779B97F4A7C15L +
+        y.toLong * 0x85EBCA77C2B2AE63L + x.toLong * 0xC2B2AE3D27D4EB4FL
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL; z ^= z >>> 31
+      ((z & 0x7FFFFFFFL) % 248).toInt + shift
+    })
+  }
+
+  /** REAL JPEG of the same gradient, produced by the JDK's own encoder
+    * (ImageIO) — a genuine lossy scan, not header scaffolding. Decoded
+    * pixels are approximate by design; gates assert dims exactly and
+    * pixel statistics within a tolerance band against the lossless PNG
+    * twin of the same gradient. */
+  def buildJpegGradient(width: Int, height: Int, a: Int, b: Int,
+                        c: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, (a * x + b * y + c) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "jpg", out)
+    require(ok, "no JPEG encoder available in this JVM")
     out.toByteArray
   }
 
@@ -303,14 +377,20 @@ object MediaHeaders {
   }
 
   /** Dispatch used by [[BuildMedia]]: png/jpeg take (w, h); wav takes
-    * (sampleRate, channels, bitsPerSample, nSamples). */
-  def build(kind: String, p1: Int, p2: Int, p3: Int, p4: Int): Array[Byte] =
+    * (sampleRate, channels, bitsPerSample, nSamples); png_grad/jpeg_grad
+    * take (w, h, a, b, c) — the gradient pixel formula params. */
+  def build(kind: String, p1: Int, p2: Int, p3: Int, p4: Int,
+            p5: Int = 0): Array[Byte] =
     kind match {
-      case "png"  => buildPng(p1, p2)
-      case "jpeg" => buildJpeg(p1, p2)
-      case "wav"  => buildWav(p1, p2, p3, p4)
-      case other  => throw new IllegalArgumentException(
-        s"unknown media kind '$other' (png|jpeg|wav)")
+      case "png"       => buildPng(p1, p2)
+      case "jpeg"      => buildJpeg(p1, p2)
+      case "wav"       => buildWav(p1, p2, p3, p4)
+      case "png_grad"  => buildPngGradient(p1, p2, p3, p4, p5)
+      case "jpeg_grad" => buildJpegGradient(p1, p2, p3, p4, p5)
+      case "png_noise" => buildPngNoise(p1, p2, p3, p4)
+      case other => throw new IllegalArgumentException(
+        s"unknown media kind '$other' " +
+          "(png|jpeg|wav|png_grad|jpeg_grad|png_noise)")
     }
 
   // ---- registration (same registry path as VectorCosine) -----------------
@@ -340,7 +420,8 @@ object MediaHeaders {
       MediaField(exprs.head, field)
     }
     put(buildName) { exprs =>
-      require(exprs.length == 5, s"$buildName takes (kind, p1, p2, p3, p4)")
+      require(exprs.length == 5 || exprs.length == 6,
+        s"$buildName takes (kind, p1, p2, p3, p4[, p5])")
       BuildMedia(exprs)
     }
   }
@@ -407,7 +488,8 @@ case class BuildMedia(children: Seq[Expression])
       case o => throw new IllegalArgumentException(s"int expected, got $o")
     }
     MediaHeaders.build(vs.head.asInstanceOf[UTF8String].toString,
-      i(vs(1)), i(vs(2)), i(vs(3)), i(vs(4)))
+      i(vs(1)), i(vs(2)), i(vs(3)), i(vs(4)),
+      if (vs.length > 5) i(vs(5)) else 0)
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BuildMedia =

@@ -8,15 +8,53 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, processed in partition-local batches.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are clearly-marked deterministic STUBS — what is real and
-  * tested is everything Spark-side: the schema contract, the
-  * mapPartitions batching (one buffer reuse per batch, the shape a Pandas
-  * UDF / JNI decoder would plug into), partition preservation, and the
-  * feature-vector output schema that downstream Similarity operators
-  * consume.
+  * Image decode is REAL: the JDK's own codecs (javax.imageio — PNG and
+  * JPEG readers/writers ship with every JVM) run inside the
+  * partition-local `mapPartitions` batch seam, so pixel statistics,
+  * resampling, and perceptual hashing operate on genuinely decoded
+  * rasters. The Spark-side contract is unchanged from the earlier stub
+  * generation: schema-first output, batch-at-a-time iteration (the shape
+  * an Arrow/Pandas-UDF or JNI codec bridge plugs into), partition
+  * preservation — no shuffle, no driver involvement, which is what lets
+  * the same decode kernel run over 100 TB of payloads as a pure map.
+  * A payload the decoder rejects yields NULL stats, never a throw.
   */
 object Multimodal {
+
+  /** Decode any ImageIO-supported payload to an 8-bit grayscale raster
+    * (row-major samples). Color inputs are luma-converted by drawing onto
+    * a TYPE_BYTE_GRAY canvas; undecodable payloads yield None. ImageIO's
+    * disk cache is disabled once per JVM — executors decode purely
+    * in-memory. */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(img.getWidth,
+            img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics()
+          gr.drawImage(img, 0, 0, null)
+          gr.dispose()
+          g
+        }
+      val (w, h) = (gray.getWidth, gray.getHeight)
+      val raster = gray.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some((w, h, px))
+    } catch { case _: Exception => None }
+  }
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Metadata contract for an opaque media payload. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -47,23 +85,35 @@ object Multimodal {
     StructType(Seq(idField,
       StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB decode kernel — a real deployment swaps this single function for
-    * an image/audio decoder (libjpeg/ffmpeg via JNI, or an Arrow-batched
-    * Python worker). Deterministic: features are a folded hash of the
-    * payload bytes, so tests can assert exact values. */
-  def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
-    var d = 0
-    while (d < dim) {
-      val v = h ^ (d.toLong * 0x9E3779B97F4A7C15L)
-      out(d) = ((v % 1000003L).toFloat) / 1000003.0f
-      d += 1
+  /** REAL decode kernel: stripe-profile features from the decoded raster.
+    * The image is split into `dim` horizontal stripes (stripe of row y is
+    * y·dim div h — integer arithmetic, so an independent engine can
+    * recompute the partition); feature i is stripe i's mean gray level.
+    * Deterministic given the payload bytes (PNG is lossless), so gates
+    * can assert exact values. Returns null for undecodable payloads. */
+  def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    decodeGray(payload) match {
+      case None => null
+      case Some((w, h, px)) =>
+        val sums = new Array[Long](dim)
+        val counts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          val s = y * dim / h
+          var x = 0
+          while (x < w) { sums(s) += px(y * w + x); x += 1 }
+          counts(s) += w
+          y += 1
+        }
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          out(i) = if (counts(i) == 0) 0f
+                   else (sums(i).toDouble / counts(i)).toFloat
+          i += 1
+        }
+        out
     }
-    out
-  }
 
   /** Batched feature extraction over the binary column: partition-local,
     * batch-at-a-time iteration (the exact shape of an Arrow/Pandas-UDF
@@ -78,11 +128,139 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one decoder invocation per batch — swap point for a real codec
+        // one decoder invocation per batch — swap point for a JNI codec
         batch.map { row =>
           val payload = row.getAs[Array[Byte]](binIx)
-          Row(row.get(idIx),
-              stubDecodeFeatures(payload, dim).toSeq)
+          val f = decodeFeatures(payload, dim)
+          Row(row.get(idIx), if (f == null) null else f.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Pixel-statistics schema for [[imageStats]]: everything integral, so
+    * the DuckDB oracle recomputes each field exactly from the gradient
+    * construction arithmetic — no float-tolerance hedging. */
+  def statsSchema(idField: StructField): StructType =
+    StructType(Seq(idField,
+      StructField("img_w", IntegerType, nullable = true),
+      StructField("img_h", IntegerType, nullable = true),
+      StructField("n_px", LongType, nullable = true),
+      StructField("sum_gray", LongType, nullable = true),
+      StructField("min_gray", IntegerType, nullable = true),
+      StructField("max_gray", IntegerType, nullable = true),
+      StructField("stripe_sig", StringType, nullable = true)))
+
+  /** REAL pixel statistics over decoded rasters: dimensions, gray
+    * sum/min/max, and an 8-stripe row-profile signature (per-stripe gray
+    * sums, '|'-joined — stripe of row y is y·8 div h). All integer
+    * arithmetic over genuinely decoded pixels; a payload the decoder
+    * rejects yields NULL stats. Partition-local batches, no shuffle. */
+  def imageStats(df: DataFrame, idCol: String, binCol: String,
+                 batchSize: Int = 256): DataFrame = {
+    val outSchema = statsSchema(df.schema(idCol))
+    val idIx = df.schema.fieldIndex(idCol)
+    val binIx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          decodeGray(row.getAs[Array[Byte]](binIx)) match {
+            case None =>
+              Row(row.get(idIx), null, null, null, null, null, null, null)
+            case Some((w, h, px)) =>
+              var sum = 0L; var mn = 255; var mx = 0
+              val stripes = new Array[Long](8)
+              var y = 0
+              while (y < h) {
+                val s = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val g = px(y * w + x)
+                  sum += g
+                  if (g < mn) mn = g
+                  if (g > mx) mx = g
+                  stripes(s) += g
+                  x += 1
+                }
+                y += 1
+              }
+              Row(row.get(idIx), w, h, w.toLong * h, sum, mn, mx,
+                stripes.mkString("|"))
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor resample: decode, sample src pixel
+    * (x·srcW div tW, y·srcH div tH) for each target pixel, re-encode as
+    * grayscale PNG via the repo's own writer — a deterministic
+    * decode→transform→encode round trip whose output raster is
+    * recomputable arithmetic (both the index mapping and, for gradient
+    * inputs, the pixel values). Undecodable payloads pass through as
+    * NULL. Partition-local batches, no shuffle. */
+  def resizeImage(df: DataFrame, idCol: String, binCol: String,
+                  targetW: Int, targetH: Int,
+                  batchSize: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(idField,
+      StructField("content", BinaryType, nullable = true)))
+    val idIx = df.schema.fieldIndex(idCol)
+    val binIx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          decodeGray(row.getAs[Array[Byte]](binIx)) match {
+            case None => Row(row.get(idIx), null)
+            case Some((w, h, px)) =>
+              val out = graft.expressions.MediaHeaders.buildPngFromPixels(
+                targetW, targetH,
+                (x, y) => px((y * h / targetH) * w + (x * w / targetW)))
+              Row(row.get(idIx), out)
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual dHash (difference hash) over decoded pixels: resample to
+    * 9×8 (nearest-neighbor, same integer mapping as [[resizeImage]]),
+    * then bit y·8+x = [g(x+1,y) > g(x,y)] — 64 bits of gradient-sign
+    * structure that survive brightness shifts and mild re-encoding. The
+    * output column is named `simhash` so [[Dedup.simhashPairs]]'s
+    * 16-bit-block pigeonhole join applies verbatim — image near-dup
+    * candidate generation rides the existing Hamming-blocking machinery.
+    * Undecodable payloads yield NULL. */
+  def dHash(df: DataFrame, idCol: String, binCol: String,
+            batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("simhash", LongType, nullable = true)))
+    val idIx = df.schema.fieldIndex(idCol)
+    val binIx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          decodeGray(row.getAs[Array[Byte]](binIx)) match {
+            case None => Row(row.get(idIx), null)
+            case Some((w, h, px)) =>
+              def g(x: Int, y: Int): Int =
+                px((y * h / 8) * w + (x * w / 9))
+              var bits = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (g(x + 1, y) > g(x, y)) bits |= (1L << (y * 8 + x))
+                  x += 1
+                }
+                y += 1
+              }
+              Row(row.get(idIx), bits)
+          }
         }
       }
     }

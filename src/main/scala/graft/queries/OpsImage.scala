@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expressions.MediaHeaders
+import graft.operators.{Dedup, Multimodal}
+
+/** Image operators over REAL decoded pixels (JDK ImageIO inside the
+  * partition-local batch seam — no external codec deps): pixel statistics,
+  * nearest-neighbor resampling with a PNG re-encode round trip, lossy-JPEG
+  * decode cross-checks, and perceptual dHash near-duplicate detection
+  * riding the SimHash pigeonhole block join.
+  *
+  * Oracle strategy: payloads are built in-query from doc_id arithmetic
+  * (gradient PNGs — lossless, so decoded pixels ARE the construction
+  * formula), and DuckDB recomputes every statistic from that arithmetic
+  * via lateral generate_series. If the decoder misreads one pixel, one
+  * stride, or one filter byte, the hash diverges. The JPEG and dedup
+  * gates follow the recall-twin pattern (in-query assertions the oracle
+  * states as constants) because lossy codec output and Hamming-space set
+  * comparisons are not SQL-recomputable.
+  */
+object OpsImage extends Suite {
+
+  // gradient construction params, shared by the Spark queries and the
+  // DuckDB oracles (small images: the oracle expands one row per pixel)
+  private def gradMedia(id: org.apache.spark.sql.Column) = Seq(
+    lit("png_grad"),
+    (pmod(id * 37, lit(48)) + 16).cast("int"),  // w in [16, 64)
+    (pmod(id * 53, lit(48)) + 16).cast("int"),  // h in [16, 64)
+    (pmod(id, lit(7)) + 1).cast("int"),         // a in [1, 7]
+    (pmod(id, lit(11)) + 1).cast("int"),        // b in [1, 11]
+    pmod(id * 17, lit(251)).cast("int"))        // c in [0, 251)
+  private val gradParamsSql =
+    """params AS (
+      |  SELECT doc_id,
+      |    (doc_id * 37) % 48 + 16 AS w, (doc_id * 53) % 48 + 16 AS h,
+      |    doc_id % 7 + 1 AS a, doc_id % 11 + 1 AS b,
+      |    (doc_id * 17) % 251 AS c
+      |  FROM documents)""".stripMargin
+
+  private def statsSelect(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"),
+      col("img_w").cast("long").as("img_w"),
+      col("img_h").cast("long").as("img_h"),
+      col("n_px"), col("sum_gray"),
+      col("min_gray").cast("long").as("min_gray"),
+      col("max_gray").cast("long").as("max_gray"),
+      col("stripe_sig"))
+      .orderBy(col("doc_id"))
+
+  // -- REAL image decode + pixel statistics: gradient PNGs built in-query,
+  //    decoded by ImageIO, reduced to integral stats (dims, gray
+  //    sum/min/max, 8-stripe row-profile signature). Every field is exact
+  //    construction arithmetic the oracle recomputes pixel-by-pixel — the
+  //    decoder has nowhere to hide. -----------------------------------------
+  private val features: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val media = t.documents.select(col("doc_id"),
+      call_function(MediaHeaders.buildName,
+        gradMedia(col("doc_id")): _*).as("payload"))
+    statsSelect(Multimodal.imageStats(media, "doc_id", "payload"))
+  }
+  private val featuresSql =
+    s"""WITH $gradParamsSql,
+      |px AS (
+      |  SELECT doc_id, w, h, x, y, (a * x + b * y + c) % 256 AS g
+      |  FROM params,
+      |    unnest(generate_series(0, w - 1)) AS tx(x),
+      |    unnest(generate_series(0, h - 1)) AS ty(y)),
+      |st AS (
+      |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS sum_gray,
+      |    CAST(min(g) AS BIGINT) AS min_gray,
+      |    CAST(max(g) AS BIGINT) AS max_gray
+      |  FROM px GROUP BY doc_id),
+      |stripes AS (
+      |  SELECT doc_id, y * 8 // h AS s, sum(g) AS ssum
+      |  FROM px GROUP BY doc_id, y * 8 // h),
+      |sig AS (
+      |  SELECT doc_id,
+      |    string_agg(CAST(ssum AS VARCHAR), '|' ORDER BY s) AS stripe_sig
+      |  FROM stripes GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+      |  CAST(w * h AS BIGINT) AS n_px, st.sum_gray, st.min_gray,
+      |  st.max_gray, sig.stripe_sig
+      |FROM params p JOIN st USING (doc_id) JOIN sig USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- REAL resample round trip: decode → nearest-neighbor resize to 12×10
+  //    → re-encode as PNG (the repo's own writer) → decode AGAIN → stats.
+  //    The oracle recomputes the resized raster from the index mapping
+  //    sx = x·w div 12, sy = y·h div 10 — one wrong stride anywhere in
+  //    decode/resample/encode and the hash diverges. ------------------------
+  private val resize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val media = t.documents.select(col("doc_id"),
+      call_function(MediaHeaders.buildName,
+        gradMedia(col("doc_id")): _*).as("payload"))
+    val resized = Multimodal.resizeImage(media, "doc_id", "payload",
+      targetW = 12, targetH = 10)
+    statsSelect(Multimodal.imageStats(resized, "doc_id", "content"))
+  }
+  private val resizeSql =
+    s"""WITH $gradParamsSql,
+      |px AS (
+      |  SELECT doc_id, x, y,
+      |    (a * ((x * w) // 12) + b * ((y * h) // 10) + c) % 256 AS g
+      |  FROM params,
+      |    unnest(generate_series(0, 11)) AS tx(x),
+      |    unnest(generate_series(0, 9)) AS ty(y)),
+      |st AS (
+      |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS sum_gray,
+      |    CAST(min(g) AS BIGINT) AS min_gray,
+      |    CAST(max(g) AS BIGINT) AS max_gray
+      |  FROM px GROUP BY doc_id),
+      |stripes AS (
+      |  SELECT doc_id, y * 8 // 10 AS s, sum(g) AS ssum
+      |  FROM px GROUP BY doc_id, y * 8 // 10),
+      |sig AS (
+      |  SELECT doc_id,
+      |    string_agg(CAST(ssum AS VARCHAR), '|' ORDER BY s) AS stripe_sig
+      |  FROM stripes GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(12 AS BIGINT) AS img_w, CAST(10 AS BIGINT) AS img_h,
+      |  CAST(120 AS BIGINT) AS n_px, st.sum_gray, st.min_gray,
+      |  st.max_gray, sig.stripe_sig
+      |FROM params p JOIN st USING (doc_id) JOIN sig USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- REAL lossy-JPEG decode: the same gradients encoded by the JDK's own
+  //    JPEG encoder (genuine entropy-coded scans), decoded, and
+  //    cross-checked against the lossless PNG twin — dims must match
+  //    exactly, mean gray within 2.0 (empirically worst 0.5 over the param
+  //    space). Lossy output is not SQL-recomputable, so the gate follows
+  //    the recall-twin pattern: booleans computed in-query, stated as
+  //    constants by the oracle. -------------------------------------------
+  private val jpegDecode: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val grad = gradMedia(col("doc_id"))
+    val media = t.documents.select(col("doc_id"),
+      call_function(MediaHeaders.buildName, grad: _*).as("png"),
+      call_function(MediaHeaders.buildName,
+        lit("jpeg_grad") +: grad.tail: _*).as("jpg"))
+    val p = Multimodal.imageStats(media, "doc_id", "png")
+      .select(col("doc_id"), col("img_w").as("pw"), col("img_h").as("ph"),
+        (col("sum_gray").cast("double") / col("n_px")).as("pmean"))
+    val j = Multimodal.imageStats(media, "doc_id", "jpg")
+      .select(col("doc_id"), col("img_w").as("jw"), col("img_h").as("jh"),
+        (col("sum_gray").cast("double") / col("n_px")).as("jmean"))
+    p.join(j, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_imgs"),
+        (sum(when(col("jw") === col("pw") && col("jh") === col("ph"), 1)
+          .otherwise(0)) === count(lit(1))).as("dims_ok"),
+        (sum(when(abs(col("jmean") - col("pmean")) <= 2.0, 1)
+          .otherwise(0)) === count(lit(1))).as("mean_close"),
+        (sum(when(col("pmean").isNotNull && col("jmean").isNotNull, 1)
+          .otherwise(0)) === count(lit(1))).as("decoded_all"))
+  }
+  private val jpegDecodeSql =
+    """SELECT count(*) AS n_imgs, true AS dims_ok, true AS mean_close,
+      |  true AS decoded_all FROM documents""".stripMargin
+
+  // -- perceptual near-duplicate image detection: 64-bit dHash over decoded
+  //    pixels, candidate pairs via the SimHash 16-bit-block pigeonhole join
+  //    (no quadratic pass at scale). The corpus plants brightness-shifted
+  //    near-duplicates — hash-noise images sharing a seed per group
+  //    (doc_id mod 50) with shifts that provably preserve dHash — and the
+  //    gate asserts, in-query, against the exact all-pairs Hamming
+  //    baseline: every planted pair found, zero false positives, full
+  //    recall at Hamming ≤ 3. The hashed payload (n_docs, n_planted) is
+  //    recomputed by the oracle from the group arithmetic. -----------------
+  private val imageDedup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val id = col("doc_id")
+    val g = pmod(id, lit(50))
+    val media = t.documents.select(id,
+      call_function(MediaHeaders.buildName, lit("png_noise"),
+        (pmod(g * 37, lit(48)) + 16).cast("int"),
+        (pmod(g * 53, lit(48)) + 16).cast("int"),
+        (g * 7919).cast("int"),                    // seed per group
+        (pmod(id, lit(3)) * 4).cast("int")).as("payload")) // shift 0|4|8
+    val dh = Dedup.reuse("img:dhash",
+      Multimodal.dHash(media, "doc_id", "payload"))
+    val emitted = Dedup.reuse("img:dhash:pairs",
+      Dedup.simhashPairs(dh, "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b")))
+    val a = dh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = dh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select(col("id_a"), col("id_b"))
+    // planted near-dup pairs: same group (same noise seed, shift-only
+    // difference — dHash-identical by construction)
+    val ga = t.documents.select(id.as("id_a"), pmod(id, lit(50)).as("ga"))
+    val gb = t.documents.select(id.as("id_b"), pmod(id, lit(50)).as("gb"))
+    val planted = ga.join(gb, col("ga") === col("gb") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val nPlanted = planted.agg(count(lit(1)).cast("long").as("n_planted"))
+    val plantedFound = planted
+      .join(emitted.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) === count(lit(1)))
+        .as("planted_found_all"))
+    val fp = emitted.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_false_pos"))
+    val rc = exact
+      .join(emitted.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) === count(lit(1)))
+        .as("recall_full"))
+    t.documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nPlanted)).crossJoin(broadcast(plantedFound))
+      .crossJoin(broadcast(fp)).crossJoin(broadcast(rc))
+  }
+  private val imageDedupSql =
+    """WITH grp AS (
+      |  SELECT doc_id % 50 AS g, count(*) AS n FROM documents GROUP BY 1)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |  CAST((SELECT sum(n * (n - 1) // 2) FROM grp) AS BIGINT)
+      |    AS n_planted,
+      |  true AS planted_found_all, CAST(0 AS BIGINT) AS n_false_pos,
+      |  true AS recall_full""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "llm_multimodal_features" -> features,
+    "llm_image_resize" -> resize,
+    "llm_image_jpeg" -> jpegDecode,
+    "llm_image_dedup" -> imageDedup)
+
+  def oracle: Map[String, String] = Map(
+    "llm_multimodal_features" -> featuresSql,
+    "llm_image_resize" -> resizeSql,
+    "llm_image_jpeg" -> jpegDecodeSql,
+    "llm_image_dedup" -> imageDedupSql)
+}

@@ -1209,19 +1209,8 @@ object OpsLlm extends Suite {
       .select(col("n_exact"), col("n_false_pos"), col("recall_ok"))
   }
 
-  // -- multimodal plumbing (stubbed decode; deterministic, rows-only) -------
-  private val multimodal: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    val media = Multimodal.syntheticMedia(
-      t.documents.select(col("doc_id"), col("text")), "text")
-    Multimodal.extractFeatures(media, "doc_id", "content", dim = 8)
-      // serialize the float vector: the driver's pandas compare can't sort
-      // array cells (exact per-element values are asserted in MultimodalSpec)
-      .select(col("doc_id"),
-        array_join(transform(col("features"), _.cast("string")), "|")
-          .as("features_sig"))
-      .orderBy(col("doc_id"))
-  }
+  // (llm_multimodal_features moved to OpsImage: the decode is REAL now —
+  //  JDK ImageIO over gradient PNGs with a hash-exact pixel-stat oracle)
 
   // -- compression-ratio quality signal: deflate(text)/|text| per doc,
   //    gated with in-query physics assertions the DuckDB oracle states as
@@ -1581,7 +1570,6 @@ object OpsLlm extends Suite {
     "llm_embed_ann_pairs" -> embedAnnPairs,
     "llm_embed_ann_recall" -> embedAnnRecall,
     "llm_embed_cluster_recall" -> embedClusterRecall,
-    "llm_multimodal_features" -> multimodal,
     "llm_multimodal_frames" -> multimodalFrames,
     "llm_multimodal_headers" -> multimodalHeaders,
     "llm_multimodal_resize" -> multimodalResize,

@@ -374,7 +374,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
-  test("multimodal: schema contract, batched stub decode, frame sampling") {
+  test("multimodal: schema contract, batched real decode, frame sampling") {
     val media = Multimodal.syntheticMedia(docs, "text")
     assert(media.schema("content").dataType ==
       org.apache.spark.sql.types.BinaryType)
@@ -384,12 +384,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(metaFields.toSeq ==
       Multimodal.mediaMetaType.fields.map(f => (f.name, f.dataType)).toSeq)
 
-    val feats = Multimodal.extractFeatures(media, "doc_id", "content",
+    // real decode: per-doc gradient PNGs keyed off doc_id (docs 0 and 1
+    // get identical params → identical payloads → identical features)
+    import org.apache.spark.sql.functions.{col, pmod, lit, udf}
+    val mkPng = udf((id: Long) => {
+      val p = if (id <= 1) 0 else id.toInt
+      graft.expressions.MediaHeaders.buildPngGradient(
+        p % 20 + 16, p % 12 + 16, p % 5 + 1, p % 3 + 1, p % 200)
+    })
+    val imgs = docs.select(col("doc_id"), mkPng(col("doc_id")).as("content"))
+    val feats = Multimodal.extractFeatures(imgs, "doc_id", "content",
       dim = 8, batchSize = 3)
     val rows = feats.collect()
     assert(rows.length == docs.count())
     assert(rows.forall(_.getSeq[Float](1).length == 8))
-    // determinism: same payload → same features (docs 0 and 1 share text)
     val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(byId(0L) == byId(1L))
     assert(byId(0L) != byId(3L))

@@ -20,6 +20,11 @@ class PlanGuardSpec extends SparkSpec {
                                      // it feeds both the false-positive and
                                      // the recall branch) + 2 summary-row
                                      // crosses
+    "llm_image_dedup" -> 6,          // exact-Hamming baseline (feeds the
+                                     // false-positive and recall branches)
+                                     // + 4 broadcast 1-row summary crosses
+                                     // (n_planted, planted_found_all,
+                                     // n_false_pos, recall_full)
     "llm_embed_exact_pairs" -> 1,    // the documented quadratic baseline
     "llm_knn_graph" -> 2,            // exact-pair mode, both directions
     "llm_knn_density" -> 2,          // exact-pair mode, both directions
