@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.plans.GroupedTopK
+
+/** Adversarial-skew stress: synthetic pathological corpora that hit the
+  * safety machinery the gated queries (natural-ish data) never force.
+  * The gates prove correctness at sf0.1; this suite proves the 100×-skew
+  * story is load-bearing — caps bound the work, valves engage without
+  * changing answers, the lossless filter stays lossless under a power-law
+  * vocabulary, and both sides of the union-find size gate agree.
+  */
+class PathologicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GroupedTopK safety valve: forced past the per-partition group cap, " +
+    "the sort fallback returns exactly the heap path's answer") {
+    // 200k rows / 50k groups over 4 partitions = ~12.5k groups per
+    // partition; a cap of 100 forces BOTH phases through the valve
+    val df = spark.range(200000L).select(
+      (col("id") % 50000L).as("g"),
+      (col("id") * 2654435761L % 1000003L).as("score"),
+      col("id"))
+    val ref = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") <= 2).drop("rn")
+        .collect().map(_.toSeq).toSet
+    }
+    val prev = spark.conf.getOption("spark.graft.topk.maxGroupsPerPartition")
+    try {
+      spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "100")
+      val valve = GroupedTopK(df, Seq("g"),
+        Seq(col("score").desc, col("id").asc), 2)
+        .collect().map(_.toSeq).toSet
+      assert(valve == ref, "valve-engaged result must equal the window " +
+        "reference")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.graft.topk.maxGroupsPerPartition", v)
+        case None =>
+          spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+      }
+    }
+  }
+
+  test("all-identical corpus: single-pass exact dedup collapses 100k " +
+    "copies to one survivor") {
+    val df = spark.range(100000L)
+      .select(col("id"), lit("the same document every time").as("text"))
+    val survivors = Dedup.exact(df, Seq("text"), "id").collect()
+    assert(survivors.length == 1)
+    assert(survivors.head.getLong(0) == 0L, "min-id survivor")
+  }
+
+  test("ultra-hot shingle: the doc-frequency cap drops a shingle shared " +
+    "by all 50k docs, and the planted pair still surfaces") {
+    // every doc carries the hot phrase (6 tokens → shingles with df=50k);
+    // per-doc unique tokens shingle at df=1; two planted twins share 40
+    // distinctive tokens (df=2 — the only informative postings)
+    val hot = "terms and conditions always apply here"
+    val dup = (1 to 40).map(i => s"duptok$i").mkString(" ")
+    val docs = spark.range(50000L).select(col("id"),
+      concat(
+        lit("u"), col("id"), lit("a u"), col("id"), lit("b u"),
+        col("id"), lit("c "),
+        when(col("id") < 2, lit(dup)).otherwise(lit(hot))).as("text"))
+    // cap diagnostics see the hot shingles and their magnitude
+    val stats = Dedup.shingleCapStats(docs, "id", "text", n = 3, cap = 500)
+      .collect().head
+    assert(stats.getLong(1) >= 49998L, s"max_doc_freq=${stats.getLong(1)}")
+    assert(stats.getLong(2) >= 1L, "at least one shingle over the cap")
+    // with the cap ON the pair pass is bounded: postings for df>cap
+    // shingles never materialize, and the result is exactly the planted
+    // twin pair (the hot shingle alone would otherwise emit ~1.25e9 pairs)
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = Some(500))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("power-law vocabulary: the prefix filter stays lossless — " +
+    "identical pair set to the uncapped exact path") {
+    // zipf-ish tokens: rank = floor(u^2 * 60) concentrates mass on low
+    // ranks (rank 0 ≈ 13% of all tokens) — hot shingles everywhere
+    def tok(doc: Int, j: Int): String = {
+      var z = doc.toLong * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL; z ^= z >>> 31
+      val u = ((z & 0x7FFFFFFFL).toDouble / Int.MaxValue)
+      s"w${(u * u * 60).toInt}"
+    }
+    val texts = (0 until 1500).map { i =>
+      val base = if (i >= 1000 && i < 1050)
+        // planted near-dups of docs 0..49: same first 29 tokens
+        (0 until 29).map(j => tok(i - 1000, j)) :+ "tail"
+      else (0 until 30).map(j => tok(i, j))
+      (i.toLong, base.mkString(" "))
+    }
+    val docs = texts.toDF("id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "id", "text",
+      n = 3, threshold = 0.8, maxDocFreq = None))
+    val prefix = pairSet(Dedup.prefixJaccardPairs(docs, "id", "text",
+      n = 3, threshold = 0.8))
+    assert(prefix == exact,
+      s"prefix filter dropped/added pairs: ${prefix.diff(exact)} / " +
+        s"${exact.diff(prefix)}")
+    assert(exact.nonEmpty, "planted near-dups must actually pair")
+  }
+
+  test("union-find size gate: driver fast path and distributed " +
+    "pointer-jumping loop label 100-node chains identically") {
+    // 10k nodes in 100 chains of length 100 — pointer jumping needs
+    // ~log2(100) ≈ 7 rounds; plain neighbor-min would need 99 and raise
+    val pairs = spark.range(10000L)
+      .filter(col("id") % 100 =!= 99)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = labelMap(Dedup.clusterLabels(pairs))
+    val dist = labelMap(Dedup.clusterLabels(pairs, maxDriverEdges = 10L))
+    assert(driver == dist)
+    assert(driver.size == 10000)
+    // canonical label = chain head
+    assert((0 until 10000 by 100).forall(h =>
+      driver(h.toLong + 57L) == h.toLong))
+  }
+}
