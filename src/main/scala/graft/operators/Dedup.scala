@@ -687,8 +687,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = persistScoped(s"prefix:$idCol:$textCol:$n",
       shingles(df, idCol, textCol, n))
-    val sizes = shingleSizes(sh, idCol)
-    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("sh_df"))
+    // The per-doc size and doc-frequency aggregates feed BOTH the
+    // candidate side (prefix construction) and the verify side (final
+    // Jaccard, df ≥ 2 projection) — persisted scoped so each is computed
+    // once instead of re-aggregating the shingle set per consumer (the
+    // same sharing the v2 pipeline applies to its pair set). Both are
+    // threshold-independent, so every threshold over the same shingle
+    // configuration shares one copy. Bounded: one row per doc / per
+    // distinct shingle.
+    val sizes = persistScoped(s"prefix-sizes:$idCol:$textCol:$n",
+      shingleSizes(sh, idCol))
+    val docFreq = persistScoped(s"prefix-df:$idCol:$textCol:$n",
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("sh_df")))
     val byRarity = Window.partitionBy(col(idCol))
       .orderBy(col("sh_df"), col("sh"))
     val prefixLen =
@@ -734,9 +744,11 @@ object Dedup {
     // Verification also only needs df ≥ 2 shingles: a shingle common to two
     // documents has df ≥ 2 by definition, so intersection counts over the
     // filtered set are identical (set sizes n_a/n_b still come from the
-    // full sets).
-    val shCommon = sh.join(docFreq.filter(col("sh_df") >= 2).select(col("sh")),
-      Seq("sh"), "left_semi")
+    // full sets). Persisted: both verify sides (id_a and id_b) probe this
+    // same filtered shingle set.
+    val shCommon = persistScoped(s"prefix-keep:$idCol:$textCol:$n",
+      sh.join(docFreq.filter(col("sh_df") >= 2).select(col("sh")),
+        Seq("sh"), "left_semi"))
     val common = cands
       .join(shCommon.select(col(idCol).as("id_a"), col("sh")), "id_a")
       .join(shCommon.select(col(idCol).as("id_b"), col("sh")),
