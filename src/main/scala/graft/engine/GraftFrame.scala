@@ -58,6 +58,13 @@ final case class GraftFrame(df: DataFrame) {
   /** collect() — triggers distributed execution (dataframe.rs:117-122). */
   def collect(): Array[Row] = df.collect()
 
+  /** collect() as serialized Arrow record batches — the reference's
+    * result surface (dataframe.rs:117-130 returns Arrow RecordBatches).
+    * IPC wire format, readable by any Arrow implementation; batch sizing
+    * follows spark.sql.execution.arrow.maxRecordsPerBatch. */
+  def collectArrow(): Array[Array[Byte]] =
+    org.apache.spark.sql.graftbridge.ArrowBridge.toBatches(df)
+
   /** show(num) (dataframe.rs:124-130). */
   def show(num: Int = 20): Unit = df.show(num)
 

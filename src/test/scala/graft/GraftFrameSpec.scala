@@ -41,6 +41,26 @@ class GraftFrameSpec extends SparkSpec {
     assert(semi.schema.fieldNames.forall(_.startsWith("o_")))
   }
 
+  test("collectArrow round-trips losslessly to the Row surface " +
+    "(the reference's RecordBatch result contract)") {
+    // mixed types: integral keys, decimal-ish doubles, strings, a date
+    val f = li.selectColumns("l_orderkey", "l_quantity", "l_returnflag",
+        "l_shipdate")
+      .sort(Fx.col("l_orderkey").asc, Fx.col("l_quantity").asc)
+      .limit(500)
+    val rows = f.collect()
+    val batches = f.collectArrow()
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    // batch bytes begin with an Arrow IPC continuation/length frame, not
+    // row data — prove interop by decoding through the Arrow reader
+    val decoded = org.apache.spark.sql.graftbridge.ArrowBridge
+      .fromBatches(spark, f.schema, batches.iterator).toArray
+    assert(decoded.length == rows.length)
+    decoded.zip(rows).foreach { case (d, r) =>
+      assert(d.toSeq == r.toSeq, s"row mismatch: $d vs $r")
+    }
+  }
+
   test("explainString exposes logical+physical plans, analyze runs") {
     val f = li.limit(5)
     val s = f.explainString(verbose = true)
