@@ -376,9 +376,47 @@ object MediaHeaders {
     out.toByteArray
   }
 
+  /** Fully valid 16-bit mono PCM WAV whose sample stream is the
+    * deterministic sawtooth sample(i) = ((i·step + phase) mod 65536) −
+    * 32768 — PCM is lossless, so a decode recovers these exact values and
+    * amplitude statistics are recomputable arithmetic (the audio analog
+    * of [[buildPngGradient]]). */
+  def buildWavTone(sampleRate: Int, nSamples: Int, step: Int,
+                   phase: Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0 && step >= 0 && phase >= 0)
+    val dataSize = nSamples * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    def le16w(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def le32w(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32w(36 + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    le32w(16)
+    le16w(1) // PCM
+    le16w(1) // mono
+    le32w(sampleRate)
+    le32w(sampleRate * 2) // byte rate = rate × blockAlign(2)
+    le16w(2)  // block align
+    le16w(16) // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    le32w(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((i.toLong * step + phase) % 65536L).toInt - 32768
+      le16w(s & 0xFFFF)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Dispatch used by [[BuildMedia]]: png/jpeg take (w, h); wav takes
     * (sampleRate, channels, bitsPerSample, nSamples); png_grad/jpeg_grad
-    * take (w, h, a, b, c) — the gradient pixel formula params. */
+    * take (w, h, a, b, c) — the gradient pixel formula params; wav_tone
+    * takes (sampleRate, nSamples, step, phase). */
   def build(kind: String, p1: Int, p2: Int, p3: Int, p4: Int,
             p5: Int = 0): Array[Byte] =
     kind match {
@@ -388,9 +426,10 @@ object MediaHeaders {
       case "png_grad"  => buildPngGradient(p1, p2, p3, p4, p5)
       case "jpeg_grad" => buildJpegGradient(p1, p2, p3, p4, p5)
       case "png_noise" => buildPngNoise(p1, p2, p3, p4)
+      case "wav_tone"  => buildWavTone(p1, p2, p3, p4)
       case other => throw new IllegalArgumentException(
         s"unknown media kind '$other' " +
-          "(png|jpeg|wav|png_grad|jpeg_grad|png_noise)")
+          "(png|jpeg|wav|png_grad|jpeg_grad|png_noise|wav_tone)")
     }
 
   // ---- registration (same registry path as VectorCosine) -----------------

@@ -224,15 +224,107 @@ object OpsImage extends Suite {
       |  true AS planted_found_all, CAST(0 AS BIGINT) AS n_false_pos,
       |  true AS recall_full""".stripMargin
 
+  // -- REAL audio decode + amplitude statistics: 16-bit PCM sawtooth WAVs
+  //    built in-query (sample(i) = (i·step + phase) mod 65536 − 32768),
+  //    decoded by javax.sound (the JVM's own WAV reader — the audio twin
+  //    of the ImageIO path), reduced to integral stats the oracle
+  //    recomputes sample-by-sample. PCM is lossless: one misread byte
+  //    order, stride, or header offset and the hash diverges. -------------
+  private val audio: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val id = col("doc_id")
+    val rates = array(lit(8000), lit(11025), lit(16000), lit(22050),
+      lit(44100))
+    val media = t.documents.select(id,
+      call_function(MediaHeaders.buildName, lit("wav_tone"),
+        element_at(rates, (pmod(id, lit(5)) + 1).cast("int")).cast("int"),
+        (pmod(id * 13, lit(1900)) + 100).cast("int"),
+        (pmod(id * 7, lit(997)) + 1).cast("int"),
+        pmod(id * 101, lit(65536)).cast("int")).as("payload"))
+    Multimodal.audioStats(media, "doc_id", "payload")
+      .select(id,
+        col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples"), col("sum_amp"), col("sum_sq"),
+        col("min_amp").cast("long").as("min_amp"),
+        col("max_amp").cast("long").as("max_amp"),
+        col("bucket_sig"))
+      .orderBy(id)
+  }
+  private val audioSql =
+    """WITH params AS (
+      |  SELECT doc_id,
+      |    list_extract([8000, 11025, 16000, 22050, 44100],
+      |      CAST(doc_id % 5 + 1 AS INT)) AS rate,
+      |    (doc_id * 13) % 1900 + 100 AS n,
+      |    (doc_id * 7) % 997 + 1 AS step,
+      |    (doc_id * 101) % 65536 AS phase
+      |  FROM documents),
+      |smp AS (
+      |  SELECT doc_id, n, i, (i * step + phase) % 65536 - 32768 AS v
+      |  FROM params, unnest(generate_series(0, n - 1)) AS ti(i)),
+      |st AS (
+      |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_amp,
+      |    CAST(sum(v * v) AS BIGINT) AS sum_sq,
+      |    CAST(min(v) AS BIGINT) AS min_amp,
+      |    CAST(max(v) AS BIGINT) AS max_amp
+      |  FROM smp GROUP BY doc_id),
+      |b AS (
+      |  SELECT doc_id, i * 8 // n AS bk, sum(v) AS bsum
+      |  FROM smp GROUP BY doc_id, i * 8 // n),
+      |sig AS (
+      |  SELECT doc_id,
+      |    string_agg(CAST(bsum AS VARCHAR), '|' ORDER BY bk) AS bucket_sig
+      |  FROM b GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(rate AS BIGINT) AS sample_rate_hz,
+      |  CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+      |  st.sum_amp, st.sum_sq, st.min_amp, st.max_amp, sig.bucket_sig
+      |FROM params p JOIN st USING (doc_id) JOIN sig USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- image near-dup SURVIVORS: the full image-dedup pipeline a corpus
+  //    build runs — dHash → pigeonhole pairs → connected components →
+  //    min-id survivor per cluster. With the planted-group construction
+  //    the surviving set is pure arithmetic: each group doc_id mod 50 is
+  //    one dHash-identical clique (ImageSpec pins the 50 fixed group
+  //    hashes pairwise > 3 apart, so cliques never merge), hence the
+  //    survivors are exactly doc_id 0..49. ---------------------------------
+  private val imageSurvivors: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val id = col("doc_id")
+    val g = pmod(id, lit(50))
+    val media = t.documents.select(id,
+      call_function(MediaHeaders.buildName, lit("png_noise"),
+        (pmod(g * 37, lit(48)) + 16).cast("int"),
+        (pmod(g * 53, lit(48)) + 16).cast("int"),
+        (g * 7919).cast("int"),
+        (pmod(id, lit(3)) * 4).cast("int")).as("payload"))
+    val dh = Dedup.reuse("img:dhash",
+      Multimodal.dHash(media, "doc_id", "payload"))
+    val pairs = Dedup.reuse("img:dhash:pairs",
+      Dedup.simhashPairs(dh, "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b")))
+    Dedup.survivors(t.documents.select(id), pairs, "doc_id")
+      .orderBy(id)
+  }
+  private val imageSurvivorsSql =
+    """SELECT doc_id FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+
   def defs: Map[String, Q] = Map(
     "llm_multimodal_features" -> features,
     "llm_image_resize" -> resize,
     "llm_image_jpeg" -> jpegDecode,
-    "llm_image_dedup" -> imageDedup)
+    "llm_image_dedup" -> imageDedup,
+    "llm_image_survivors" -> imageSurvivors,
+    "llm_audio_stats" -> audio)
 
   def oracle: Map[String, String] = Map(
     "llm_multimodal_features" -> featuresSql,
     "llm_image_resize" -> resizeSql,
     "llm_image_jpeg" -> jpegDecodeSql,
-    "llm_image_dedup" -> imageDedupSql)
+    "llm_image_dedup" -> imageDedupSql,
+    "llm_image_survivors" -> imageSurvivorsSql,
+    "llm_audio_stats" -> audioSql)
 }

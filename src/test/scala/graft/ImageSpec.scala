@@ -145,6 +145,60 @@ class ImageSpec extends SparkSpec {
     assert(pairs == exact)
   }
 
+  test("the 50 dedup-gate group hashes are pairwise > 3 apart — the " +
+    "survivors oracle's no-clique-merge assumption, pinned") {
+    // these 50 dHashes are FIXED constants (group params depend only on
+    // the group index, never on corpus contents or SF), so this check
+    // holds for every scale factor the gate will ever run at
+    val hs = (0 until 50).map { g =>
+      val png = MediaHeaders.buildPngNoise(
+        (g * 37) % 48 + 16, (g * 53) % 48 + 16, g * 7919, 0)
+      val Some((w, h, px)) = Multimodal.decodeGray(png)
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        def s(xx: Int) = px((y * h / 8) * w + (xx * w / 9))
+        if (s(x + 1) > s(x)) bits |= (1L << (y * 8 + x))
+      }
+      bits
+    }
+    val minHd = (for (i <- hs.indices; j <- (i + 1) until hs.size)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minHd > 3, s"group dHashes too close: min hamming $minHd")
+  }
+
+  test("PCM decode recovers the exact sawtooth samples from our WAV") {
+    val (rate, n, step, phase) = (16000, 333, 41, 1234)
+    val wav = MediaHeaders.buildWavTone(rate, n, step, phase)
+    val Some((r, ch, s)) = Multimodal.decodePcm16(wav)
+    assert(r == rate && ch == 1 && s.length == n)
+    for (i <- 0 until n)
+      assert(s(i) == ((i.toLong * step + phase) % 65536).toInt - 32768,
+        s"sample $i")
+    assert(Multimodal.decodePcm16("junk".getBytes).isEmpty)
+    assert(Multimodal.decodePcm16(null).isEmpty)
+  }
+
+  test("audioStats emits exact integral stats; garbage rows are NULL") {
+    import spark.implicits._
+    val wav = MediaHeaders.buildWavTone(8000, 200, 7, 60000)
+    val df = Seq((1L, wav), (2L, "noise".getBytes)).toDF("id", "bin")
+    val rows = Multimodal.audioStats(df, "id", "bin").orderBy("id").collect()
+    val expect = (0 until 200).map(i =>
+      ((i.toLong * 7 + 60000) % 65536).toInt - 32768)
+    val good = rows(0)
+    assert(good.getInt(1) == 8000 && good.getInt(2) == 1)
+    assert(good.getLong(3) == 200L)
+    assert(good.getLong(4) == expect.map(_.toLong).sum)
+    assert(good.getLong(5) == expect.map(v => v.toLong * v).sum)
+    assert(good.getInt(6) == expect.min && good.getInt(7) == expect.max)
+    val buckets = (0 until 8).map(b =>
+      (0 until 200).filter(i => i * 8 / 200 == b)
+        .map(i => expect(i).toLong).sum)
+    assert(good.getString(8) == buckets.mkString("|"))
+    assert(rows(1) ==
+      Row(2L, null, null, null, null, null, null, null, null))
+  }
+
   test("JPEG decode: exact dims, mean gray within the 2.0 band of the " +
     "lossless twin, across the gate's param space") {
     var worst = 0.0

@@ -8,7 +8,8 @@ class SparkEntrySpec extends SparkSpec {
   test("query names are unique across suites") {
     val suites = Seq(queries.Tpch, queries.OpsRelational, queries.OpsScalar,
       queries.OpsExtensibility, queries.OpsLlm, queries.OpsEvents,
-      queries.OpsSql, queries.OpsTemporal, queries.OpsCuration)
+      queries.OpsSql, queries.OpsTemporal, queries.OpsCuration,
+      queries.OpsImage)
     val all = suites.flatMap(_.defs.keys)
     val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
