@@ -41,12 +41,19 @@ case class GroupedTopKPlan(keys: Seq[Expression], order: Seq[SortOrder],
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopKPlan(keys, order, k, child) =>
+      // Grouping keys are normalized exactly as Spark normalizes hash-
+      // aggregate and join keys (NormalizeFloatingNumbers: -0.0 → 0.0,
+      // NaN → one canonical bit pattern): the heap phases group by
+      // UnsafeRow binary equality and the safety-valve sort groups by
+      // ordering equality, and only normalized keys make those two
+      // notions — and Spark's own groupBy semantics — coincide.
+      val normKeys = keys.map(ColumnBridge.normalizeFloats)
       // two-phase, mirroring partial aggregation: a map-side heap pass
       // bounds shuffle volume to ≤ k rows per (mapper, key) — without the
       // sort Spark's own WindowGroupLimit partial mode pays — then the
       // clustered final pass merges
-      GroupedTopKExec(keys, order, k, partial = false,
-        GroupedTopKExec(keys, order, k, partial = true,
+      GroupedTopKExec(normKeys, order, k, partial = false,
+        GroupedTopKExec(normKeys, order, k, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }

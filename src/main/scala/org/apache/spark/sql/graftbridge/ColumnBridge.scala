@@ -31,6 +31,15 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Spark's own floating-point key normalization (-0.0 → 0.0, NaN → one
+    * canonical bit pattern) — what Catalyst applies to hash-aggregate,
+    * join, and window partition keys before binary comparison. Custom
+    * operators that group by UnsafeRow equality need the same treatment;
+    * the rule object is private[sql]. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
+
   /** String value of a literal Column (`lit("…")`), if it is one. Reads the
     * ColumnNode directly — the catalyst conversion wraps literals in a lazy
     * ColumnNodeExpression whose foldability is opaque before analysis. */

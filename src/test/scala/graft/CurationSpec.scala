@@ -358,6 +358,23 @@ class CurationSpec extends SparkSpec {
     assert(out.values.count(_._2 == 1L) == 2)
   }
 
+  test("perplexityBuckets: ids past the 1e6 rank-surrogate headroom fail " +
+    "loudly instead of ranking silently wrong") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2000000L, "the dog ran to the park", "en")
+    ).toDF("doc_id", "text", "lang")
+    val e = intercept[Exception] {
+      graft.operators.Curation.perplexityBuckets(docs, "doc_id", "text",
+        trainFilter = col("lang") === "en", buckets = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rank-surrogate")),
+      s"unexpected error: $e")
+  }
+
   test("gopherFilters: each rule rejects its crafted violation") {
     val docs = Seq(
       (0L, "the morning light rises slowly across the quiet valley floor " +

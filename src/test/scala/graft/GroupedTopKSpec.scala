@@ -113,6 +113,36 @@ class GroupedTopKSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
   }
 
+  test("floating keys normalize like Spark's own groupBy: -0.0/0.0 and " +
+    "distinct NaN bit patterns form ONE group on both heap and valve " +
+    "paths") {
+    val negZero = java.lang.Double.longBitsToDouble(0x8000000000000000L)
+    val nanA = java.lang.Double.longBitsToDouble(0x7FF8000000000001L)
+    val nanB = java.lang.Double.longBitsToDouble(0x7FF8000000000002L)
+    val rows = Seq((0.0, 1L, 10.0), (negZero, 2L, 20.0), (0.0, 3L, 30.0),
+      (negZero, 4L, 40.0), (nanA, 5L, 50.0), (nanB, 6L, 60.0))
+    val df = rows.toDF("g", "id", "v").repartition(3)
+    def run(): Seq[(Long, Double)] =
+      GroupedTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 2)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // one zero group (top-2 by v: ids 4, 3) and one NaN group (6, 5) —
+    // binary-distinct keys must merge exactly as groupBy would merge them
+    val expected = Seq((3L, 30.0), (4L, 40.0), (5L, 50.0), (6L, 60.0))
+    assert(run() == expected, "heap path")
+    val prev = spark.conf.getOption("spark.graft.topk.maxGroupsPerPartition")
+    try {
+      spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "1")
+      assert(run() == expected, "valve path")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.graft.topk.maxGroupsPerPartition", v)
+        case None =>
+          spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+      }
+    }
+  }
+
   test("column pruning pushes through the custom node: wide payloads " +
     "never reach the heaps when downstream only aggregates narrow cols") {
     val df = data.toDF("g", "id", "v")

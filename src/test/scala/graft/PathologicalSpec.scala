@@ -132,4 +132,22 @@ class PathologicalSpec extends SparkSpec {
     assert((0 until 10000 by 100).forall(h =>
       driver(h.toLong + 57L) == h.toLong))
   }
+
+  test("union-find string ids: driver and distributed paths agree on the " +
+    "canonical label for all of Unicode (code-point order, not UTF-16)") {
+    // U+E000 sorts AFTER the supplementary char U+10000 in UTF-16 code
+    // units but BEFORE it in UTF-8/code-point order — the exact case
+    // where java.lang.String.compareTo diverges from Spark's UTF8String
+    val e000 = "\uE000doc"
+    val supp = new String(Character.toChars(0x10000)) + "doc"
+    val pairs = Seq((e000, supp), ("a", "b")).toDF("id_a", "id_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val driver = labels(Dedup.clusterLabels(pairs))
+    val dist = labels(Dedup.clusterLabels(pairs, maxDriverEdges = 0L))
+    assert(driver == dist)
+    // code-point min: U+E000 before U+10000
+    assert(driver(supp) == e000 && driver(e000) == e000)
+    assert(driver("b") == "a")
+  }
 }
