@@ -121,7 +121,9 @@ class PlanGuardSpec extends SparkSpec {
     "llm_dedup_minhash" -> (28, 0, 0, 0),
     "llm_winnow" -> (2, 0, 0, 0),
     "llm_image_dedup" -> (25, 3, 0, 4),
-    "llm_multimodal_features" -> (1, 0, 0, 0))
+    "llm_multimodal_features" -> (1, 0, 0, 0),
+    "llm_image_survivors" -> (3, 1, 0, 0),
+    "llm_audio_stats" -> (1, 0, 0, 0))
 
   test("plan fingerprints hold for the headline set: exchange and " +
     "sort-merge-join counts bounded, top-k fusion and filter pushdown " +
