@@ -306,6 +306,52 @@ object Multimodal {
     }
   }
 
+  /** Perceptual audio fingerprint over decoded PCM: the sample stream is
+    * split into 65 equal time buckets (bucket of sample i is i·65 div n)
+    * and bit b = [mean(bucket b+1) > mean(bucket b)] — the sign pattern
+    * of the coarse amplitude envelope, the audio analog of [[dHash]].
+    * Means are compared exactly via cross-multiplication (sum₁·n₂ vs
+    * sum₂·n₁ — no float rounding at the decision boundary). Depends only
+    * on the SAMPLES, not the container header, so remastered/relabeled
+    * copies of one recording hash identically. Output column `simhash` —
+    * [[Dedup.simhashPairs]]'s pigeonhole block join applies verbatim. */
+  def audioHash(df: DataFrame, idCol: String, binCol: String,
+                batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("simhash", LongType, nullable = true)))
+    val idIx = df.schema.fieldIndex(idCol)
+    val binIx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          decodePcm16(row.getAs[Array[Byte]](binIx)) match {
+            case Some((_, _, s)) if s.length >= 65 =>
+              val sums = new Array[Long](65)
+              val counts = new Array[Long](65)
+              val n = s.length
+              var i = 0
+              while (i < n) {
+                val b = (i.toLong * 65 / n).toInt
+                sums(b) += s(i); counts(b) += 1
+                i += 1
+              }
+              var bits = 0L
+              var b = 0
+              while (b < 64) {
+                // mean(b+1) > mean(b) ⟺ sum(b+1)·n(b) > sum(b)·n(b+1)
+                if (sums(b + 1) * counts(b) > sums(b) * counts(b + 1))
+                  bits |= (1L << b)
+                b += 1
+              }
+              Row(row.get(idIx), bits)
+            case _ => Row(row.get(idIx), null)
+          }
+        }
+      }
+    }
+  }
+
   /** Perceptual dHash (difference hash) over decoded pixels: resample to
     * 9×8 (nearest-neighbor, same integer mapping as [[resizeImage]]),
     * then bit y·8+x = [g(x+1,y) > g(x,y)] — 64 bits of gradient-sign

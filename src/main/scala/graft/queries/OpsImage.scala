@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.expressions.MediaHeaders
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Image operators over REAL decoded pixels (JDK ImageIO inside the
   * partition-local batch seam — no external codec deps): pixel statistics,
@@ -312,13 +312,129 @@ object OpsImage extends Suite {
   private val imageSurvivorsSql =
     """SELECT doc_id FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
 
+  // -- decoded-feature similarity search: the multimodal → similarity
+  //    composition a real pipeline runs. Gradient PNGs → REAL decode →
+  //    8-stripe mean features → exact cosine top-k (broadcast query,
+  //    per-partition heaps). Hash-exact END TO END: the oracle recomputes
+  //    the features pixel-by-pixel (integer sums, float-cast means) and
+  //    the cosine with the same sequential fold, so decode, feature
+  //    extraction, AND ranking are all under the hash. ---------------------
+  private val imageKnn: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val media = t.documents.select(col("doc_id"),
+      call_function(MediaHeaders.buildName,
+        gradMedia(col("doc_id")): _*).as("payload"))
+    val feats = graft.operators.Multimodal.extractFeatures(
+      media, "doc_id", "payload", dim = 8)
+    val query = feats.filter(col("doc_id") === 0)
+      .select(col("features").as("q"))
+    Similarity.topKForQuery(feats.filter(col("doc_id") =!= 0),
+        "doc_id", "features", query, "q", k = 20)
+      .select(col("doc_id"), round(col("cosine"), 6).as("cosine"))
+  }
+  private val imageKnnSql =
+    s"""WITH $gradParamsSql,
+      |px AS (
+      |  SELECT doc_id, w, h, x, y, (a * x + b * y + c) % 256 AS g
+      |  FROM params,
+      |    unnest(generate_series(0, w - 1)) AS tx(x),
+      |    unnest(generate_series(0, h - 1)) AS ty(y)),
+      |stripes AS (
+      |  SELECT doc_id, y * 8 // h AS s,
+      |    CAST(CAST(sum(g) AS DOUBLE) / count(*) AS FLOAT) AS m
+      |  FROM px GROUP BY doc_id, y * 8 // h),
+      |fv AS (
+      |  SELECT doc_id, list(CAST(m AS DOUBLE) ORDER BY s) AS f
+      |  FROM stripes GROUP BY doc_id),
+      |q AS (SELECT f AS qv FROM fv WHERE doc_id = 0)
+      |SELECT doc_id,
+      |  round(list_dot_product(f, qv)
+      |    / (sqrt(list_dot_product(f, f)) * sqrt(list_dot_product(qv, qv))),
+      |    6) AS cosine
+      |FROM fv, q WHERE doc_id <> 0
+      |ORDER BY cosine DESC, doc_id LIMIT 20""".stripMargin
+
+  // -- audio near-dup detection: 64-bit envelope-sign fingerprint over
+  //    decoded PCM (bucket-mean deltas compared exactly by cross-
+  //    multiplication), candidates via the same pigeonhole block join.
+  //    Planted near-dups: groups share the sample stream (n, step, phase)
+  //    while the container sample-rate label varies — byte-distinct
+  //    payloads, identical samples, identical fingerprint by construction.
+  //    Gated like llm_image_dedup: zero FP + full recall vs the exact
+  //    all-pairs Hamming baseline, planted pairs all found, counts
+  //    recomputed by the oracle from the group arithmetic. ----------------
+  private val audioDedup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val id = col("doc_id")
+    val g = pmod(id, lit(40))
+    val rates = array(lit(8000), lit(11025), lit(16000), lit(22050),
+      lit(44100))
+    // step is LARGE (hundreds-to-tens-of-thousands) so the sawtooth wraps
+    // inside every envelope bucket — small steps never wrap within the
+    // window, the envelope is monotone, and every group degenerates to
+    // the all-ascending fingerprint (pinned in ImageSpec)
+    // rate index is (doc_id div 40) % 5, NOT doc_id % 5: 5 divides 40, so
+    // the latter is constant inside a group and the planted pairs would
+    // collapse to byte-identical payloads — indexing by the group-member
+    // ordinal makes every group span all five container labels
+    val media = t.documents.select(id,
+      call_function(MediaHeaders.buildName, lit("wav_tone"),
+        element_at(rates,
+          (pmod(floor(id / lit(40)).cast("long"), lit(5)) + 1).cast("int"))
+          .cast("int"),
+        (pmod(g * 13, lit(1500)) + 200).cast("int"),
+        (pmod(g * 797, lit(60000)) + 500).cast("int"),
+        pmod(g * 101, lit(65536)).cast("int")).as("payload"))
+    val ah = Dedup.reuse("audio:hash",
+      Multimodal.audioHash(media, "doc_id", "payload"))
+    val emitted = Dedup.reuse("audio:hash:pairs",
+      Dedup.simhashPairs(ah, "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b")))
+    val a = ah.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = ah.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select(col("id_a"), col("id_b"))
+    val ga = t.documents.select(id.as("id_a"), pmod(id, lit(40)).as("ga"))
+    val gb = t.documents.select(id.as("id_b"), pmod(id, lit(40)).as("gb"))
+    val planted = ga.join(gb, col("ga") === col("gb") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val nPlanted = planted.agg(count(lit(1)).cast("long").as("n_planted"))
+    val plantedFound = planted
+      .join(emitted.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) === count(lit(1)))
+        .as("planted_found_all"))
+    val fp = emitted.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_false_pos"))
+    val rc = exact
+      .join(emitted.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) === count(lit(1)))
+        .as("recall_full"))
+    t.documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nPlanted)).crossJoin(broadcast(plantedFound))
+      .crossJoin(broadcast(fp)).crossJoin(broadcast(rc))
+  }
+  private val audioDedupSql =
+    """WITH grp AS (
+      |  SELECT doc_id % 40 AS g, count(*) AS n FROM documents GROUP BY 1)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |  CAST((SELECT sum(n * (n - 1) // 2) FROM grp) AS BIGINT)
+      |    AS n_planted,
+      |  true AS planted_found_all, CAST(0 AS BIGINT) AS n_false_pos,
+      |  true AS recall_full""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_multimodal_features" -> features,
     "llm_image_resize" -> resize,
     "llm_image_jpeg" -> jpegDecode,
     "llm_image_dedup" -> imageDedup,
     "llm_image_survivors" -> imageSurvivors,
-    "llm_audio_stats" -> audio)
+    "llm_audio_stats" -> audio,
+    "llm_image_knn" -> imageKnn,
+    "llm_audio_dedup" -> audioDedup)
 
   def oracle: Map[String, String] = Map(
     "llm_multimodal_features" -> featuresSql,
@@ -326,5 +442,7 @@ object OpsImage extends Suite {
     "llm_image_jpeg" -> jpegDecodeSql,
     "llm_image_dedup" -> imageDedupSql,
     "llm_image_survivors" -> imageSurvivorsSql,
-    "llm_audio_stats" -> audioSql)
+    "llm_audio_stats" -> audioSql,
+    "llm_image_knn" -> imageKnnSql,
+    "llm_audio_dedup" -> audioDedupSql)
 }

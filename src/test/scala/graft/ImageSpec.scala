@@ -199,6 +199,42 @@ class ImageSpec extends SparkSpec {
       Row(2L, null, null, null, null, null, null, null, null))
   }
 
+  test("audioHash: container-rate relabels hash identically (sample-only " +
+    "dependence); the 40 dedup-gate group fingerprints stay > 3 apart") {
+    import spark.implicits._
+    val a = MediaHeaders.buildWavTone(8000, 400, 3700, 100)
+    val b = MediaHeaders.buildWavTone(44100, 400, 3700, 100) // same samples
+    val c = MediaHeaders.buildWavTone(8000, 400, 9100, 100)  // other tone
+    assert(!java.util.Arrays.equals(a, b))
+    val got = Multimodal.audioHash(
+        Seq((1L, a), (2L, b), (3L, c), (4L, "x".getBytes))
+          .toDF("id", "bin"), "id", "bin")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == got(1).getLong(1),
+      "rate relabel must not change the fingerprint")
+    assert(got(2).getLong(1) != got(0).getLong(1))
+    assert(got(3).isNullAt(1))
+    // the 40 gate groups' fingerprints are fixed constants — pin their
+    // pairwise separation so the exact-baseline gate can never flake
+    val hs = (0 until 40).map { g =>
+      val wav = MediaHeaders.buildWavTone(8000,
+        (g * 13) % 1500 + 200, (g * 797) % 60000 + 500, (g * 101) % 65536)
+      val Some((_, _, s)) = Multimodal.decodePcm16(wav)
+      val sums = new Array[Long](65); val counts = new Array[Long](65)
+      s.indices.foreach { i =>
+        val b = (i.toLong * 65 / s.length).toInt
+        sums(b) += s(i); counts(b) += 1
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (sums(b + 1) * counts(b) > sums(b) * counts(b + 1))
+          acc | (1L << b) else acc
+      }
+    }
+    val minHd = (for (i <- hs.indices; j <- (i + 1) until hs.size)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minHd > 3, s"audio group fingerprints too close: $minHd")
+  }
+
   test("JPEG decode: exact dims, mean gray within the 2.0 band of the " +
     "lossless twin, across the gate's param space") {
     var worst = 0.0

@@ -25,6 +25,8 @@ class PlanGuardSpec extends SparkSpec {
                                      // + 4 broadcast 1-row summary crosses
                                      // (n_planted, planted_found_all,
                                      // n_false_pos, recall_full)
+    "llm_audio_dedup" -> 6,          // same shape as llm_image_dedup
+    "llm_image_knn" -> 1,            // 1-row query-vector broadcast
     "llm_embed_exact_pairs" -> 1,    // the documented quadratic baseline
     "llm_knn_graph" -> 2,            // exact-pair mode, both directions
     "llm_knn_density" -> 2,          // exact-pair mode, both directions
