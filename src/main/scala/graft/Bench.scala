@@ -53,7 +53,8 @@ object Bench {
       // near-dup detection
       "llm_multimodal_features", "llm_image_resize", "llm_image_jpeg",
       "llm_image_dedup", "llm_image_survivors", "llm_audio_stats",
-      "llm_image_knn", "llm_audio_dedup")
+      "llm_image_knn", "llm_audio_dedup", "llm_multimodal_dedup",
+      "llm_media_health")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,6 +40,45 @@ object OpsImage extends Suite {
       |    (doc_id * 17) % 251 AS c
       |  FROM documents)""".stripMargin
 
+  // planted near-dup constructions, ONE definition each (the dedup,
+  // survivors, and cross-modal queries build the identical expressions, so
+  // Dedup.reuse holds a single shared cache entry per corpus):
+  // - noiseMedia: hash-noise PNGs keyed by doc_id mod 50 (shared seed) with
+  //   brightness shifts 0|4|8 by doc_id mod 3 — provably dHash-invariant
+  //   (base pixels < 248, shift ≤ 8 never wraps)
+  // - toneMedia: sawtooth WAVs whose sample stream is keyed by doc_id mod
+  //   40; the container rate label is indexed by (doc_id div 40) mod 5, NOT
+  //   doc_id mod 5 — 5 divides 40, so the latter is constant inside a group
+  //   and the planted pairs would collapse to byte-identical payloads
+  private def noiseMedia(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    val g = pmod(id, lit(50))
+    docs.select(id,
+      call_function(MediaHeaders.buildName, lit("png_noise"),
+        (pmod(g * 37, lit(48)) + 16).cast("int"),
+        (pmod(g * 53, lit(48)) + 16).cast("int"),
+        (g * 7919).cast("int"),                    // seed per group
+        (pmod(id, lit(3)) * 4).cast("int")).as("payload")) // shift 0|4|8
+  }
+  private def toneMedia(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    val g = pmod(id, lit(40))
+    val rates = array(lit(8000), lit(11025), lit(16000), lit(22050),
+      lit(44100))
+    // step is LARGE (hundreds-to-tens-of-thousands) so the sawtooth wraps
+    // inside every envelope bucket — small steps never wrap within the
+    // window, the envelope is monotone, and every group degenerates to
+    // the all-ascending fingerprint (pinned in ImageSpec)
+    docs.select(id,
+      call_function(MediaHeaders.buildName, lit("wav_tone"),
+        element_at(rates,
+          (pmod(floor(id / lit(40)).cast("long"), lit(5)) + 1).cast("int"))
+          .cast("int"),
+        (pmod(g * 13, lit(1500)) + 200).cast("int"),
+        (pmod(g * 797, lit(60000)) + 500).cast("int"),
+        pmod(g * 101, lit(65536)).cast("int")).as("payload"))
+  }
+
   private def statsSelect(df: org.apache.spark.sql.DataFrame) =
     df.select(col("doc_id"),
       col("img_w").cast("long").as("img_w"),
@@ -176,13 +215,7 @@ object OpsImage extends Suite {
     val t = Tables(s, dir)
     MediaHeaders.register(s)
     val id = col("doc_id")
-    val g = pmod(id, lit(50))
-    val media = t.documents.select(id,
-      call_function(MediaHeaders.buildName, lit("png_noise"),
-        (pmod(g * 37, lit(48)) + 16).cast("int"),
-        (pmod(g * 53, lit(48)) + 16).cast("int"),
-        (g * 7919).cast("int"),                    // seed per group
-        (pmod(id, lit(3)) * 4).cast("int")).as("payload")) // shift 0|4|8
+    val media = noiseMedia(t.documents)
     val dh = Dedup.reuse("img:dhash",
       Multimodal.dHash(media, "doc_id", "payload"))
     val emitted = Dedup.reuse("img:dhash:pairs",
@@ -294,13 +327,7 @@ object OpsImage extends Suite {
     val t = Tables(s, dir)
     MediaHeaders.register(s)
     val id = col("doc_id")
-    val g = pmod(id, lit(50))
-    val media = t.documents.select(id,
-      call_function(MediaHeaders.buildName, lit("png_noise"),
-        (pmod(g * 37, lit(48)) + 16).cast("int"),
-        (pmod(g * 53, lit(48)) + 16).cast("int"),
-        (g * 7919).cast("int"),
-        (pmod(id, lit(3)) * 4).cast("int")).as("payload"))
+    val media = noiseMedia(t.documents)
     val dh = Dedup.reuse("img:dhash",
       Multimodal.dHash(media, "doc_id", "payload"))
     val pairs = Dedup.reuse("img:dhash:pairs",
@@ -368,25 +395,7 @@ object OpsImage extends Suite {
     val t = Tables(s, dir)
     MediaHeaders.register(s)
     val id = col("doc_id")
-    val g = pmod(id, lit(40))
-    val rates = array(lit(8000), lit(11025), lit(16000), lit(22050),
-      lit(44100))
-    // step is LARGE (hundreds-to-tens-of-thousands) so the sawtooth wraps
-    // inside every envelope bucket — small steps never wrap within the
-    // window, the envelope is monotone, and every group degenerates to
-    // the all-ascending fingerprint (pinned in ImageSpec)
-    // rate index is (doc_id div 40) % 5, NOT doc_id % 5: 5 divides 40, so
-    // the latter is constant inside a group and the planted pairs would
-    // collapse to byte-identical payloads — indexing by the group-member
-    // ordinal makes every group span all five container labels
-    val media = t.documents.select(id,
-      call_function(MediaHeaders.buildName, lit("wav_tone"),
-        element_at(rates,
-          (pmod(floor(id / lit(40)).cast("long"), lit(5)) + 1).cast("int"))
-          .cast("int"),
-        (pmod(g * 13, lit(1500)) + 200).cast("int"),
-        (pmod(g * 797, lit(60000)) + 500).cast("int"),
-        pmod(g * 101, lit(65536)).cast("int")).as("payload"))
+    val media = toneMedia(t.documents)
     val ah = Dedup.reuse("audio:hash",
       Multimodal.audioHash(media, "doc_id", "payload"))
     val emitted = Dedup.reuse("audio:hash:pairs",
@@ -426,6 +435,112 @@ object OpsImage extends Suite {
       |  true AS planted_found_all, CAST(0 AS BIGINT) AS n_false_pos,
       |  true AS recall_full""".stripMargin
 
+  // -- cross-modal near-dup dedup: ONE corpus deduplicated by perceptual
+  //    image hash AND audio fingerprint together — pairs from either
+  //    modality feed a single connected-component pass (the real shape of
+  //    multimodal corpus dedup: a document is dropped if ANY modality
+  //    links it to a smaller-id sibling). Image pairs = the dHash noise
+  //    groups (doc_id mod 50), audio pairs = the envelope-fingerprint tone
+  //    groups (doc_id mod 40); each modality's emitted pair set equals its
+  //    planted relation (the llm_image_dedup / llm_audio_dedup gates
+  //    assert zero-FP + full recall for exactly these constructions), and
+  //    the oracle computes the closure of the UNION with a RECURSIVE CTE —
+  //    an independent second CC algorithm over arithmetically-derived
+  //    edges. The mod-50/mod-40 interaction makes the closure genuinely
+  //    multi-hop: components fuse toward doc_id mod gcd(50,40) = 10
+  //    classes as the corpus grows, so chains like 7 ~ 47 ~ 87 (image then
+  //    audio links) must survive BOTH implementations to hash-match. -----
+  private val multimodalDedup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val dh = Dedup.reuse("img:dhash",
+      Multimodal.dHash(noiseMedia(t.documents), "doc_id", "payload"))
+    val imgPairs = Dedup.reuse("img:dhash:pairs",
+      Dedup.simhashPairs(dh, "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b")))
+    val ah = Dedup.reuse("audio:hash",
+      Multimodal.audioHash(toneMedia(t.documents), "doc_id", "payload"))
+    val audPairs = Dedup.reuse("audio:hash:pairs",
+      Dedup.simhashPairs(ah, "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b")))
+    Dedup.survivors(t.documents.select(col("doc_id")),
+      imgPairs.unionByName(audPairs).distinct(), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+  private val multimodalDedupSql =
+    """WITH RECURSIVE
+      |e0 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+      |   AND (a.doc_id % 50 = b.doc_id % 50
+      |     OR a.doc_id % 40 = b.doc_id % 40)),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e0
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+      |minlab AS (
+      |  SELECT src AS id, least(src, min(dst)) AS label
+      |  FROM reach GROUP BY src)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM minlab WHERE id <> label)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- media health accounting: the triage pass a 100 TB multimodal crawl
+  //    runs before anything else — attempt REAL decode of every payload
+  //    with every codec, count what decodes as what, and total the decoded
+  //    content. The corpus plants deterministic corruption (kind = doc_id
+  //    mod 4: valid PNG / valid WAV / PNG truncated to 20 bytes — magic
+  //    intact, header incomplete, so the reader claims it then fails /
+  //    WAV truncated likewise). Hash-exact: per-kind decode counts AND the
+  //    decoded pixel/sample totals must equal the construction arithmetic
+  //    — a decoder that silently "succeeds" on a truncated payload, or
+  //    misreads dimensions on a valid one, diverges. --------------------
+  private val mediaHealth: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    MediaHeaders.register(s)
+    val id = col("doc_id")
+    val rates = array(lit(8000), lit(11025), lit(16000), lit(22050),
+      lit(44100))
+    val png = call_function(MediaHeaders.buildName, gradMedia(id): _*)
+    val wav = call_function(MediaHeaders.buildName, lit("wav_tone"),
+      element_at(rates, (pmod(id, lit(5)) + 1).cast("int")).cast("int"),
+      (pmod(id * 13, lit(1900)) + 100).cast("int"),
+      (pmod(id * 7, lit(997)) + 1).cast("int"),
+      pmod(id * 101, lit(65536)).cast("int"))
+    val kind = pmod(id, lit(4))
+    val payload = when(kind === 0, png).when(kind === 1, wav)
+      .when(kind === 2, substring(png, 1, 20))
+      .otherwise(substring(wav, 1, 20))
+    val media = t.documents.select(id, kind.as("kind"),
+      payload.as("payload"))
+    val img = Multimodal.imageStats(media, "doc_id", "payload")
+      .select(col("doc_id"), col("n_px"))
+    val aud = Multimodal.audioStats(media, "doc_id", "payload")
+      .select(col("doc_id"), col("n_samples"))
+    media.select(id, col("kind"))
+      .join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_px").isNotNull, 1L).otherwise(0L)).as("n_img_ok"),
+        sum(when(col("n_samples").isNotNull, 1L).otherwise(0L))
+          .as("n_aud_ok"),
+        sum(coalesce(col("n_px"), lit(0L))).as("sum_px"),
+        sum(coalesce(col("n_samples"), lit(0L))).as("sum_samples"))
+      .orderBy(col("kind"))
+  }
+  private val mediaHealthSql =
+    """SELECT doc_id % 4 AS kind, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_img_ok,
+      |  CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_aud_ok,
+      |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN
+      |      ((doc_id * 37) % 48 + 16) * ((doc_id * 53) % 48 + 16)
+      |    ELSE 0 END) AS BIGINT) AS sum_px,
+      |  CAST(sum(CASE WHEN doc_id % 4 = 1 THEN (doc_id * 13) % 1900 + 100
+      |    ELSE 0 END) AS BIGINT) AS sum_samples
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_multimodal_features" -> features,
     "llm_image_resize" -> resize,
@@ -434,7 +549,9 @@ object OpsImage extends Suite {
     "llm_image_survivors" -> imageSurvivors,
     "llm_audio_stats" -> audio,
     "llm_image_knn" -> imageKnn,
-    "llm_audio_dedup" -> audioDedup)
+    "llm_audio_dedup" -> audioDedup,
+    "llm_multimodal_dedup" -> multimodalDedup,
+    "llm_media_health" -> mediaHealth)
 
   def oracle: Map[String, String] = Map(
     "llm_multimodal_features" -> featuresSql,
@@ -444,5 +561,7 @@ object OpsImage extends Suite {
     "llm_image_survivors" -> imageSurvivorsSql,
     "llm_audio_stats" -> audioSql,
     "llm_image_knn" -> imageKnnSql,
-    "llm_audio_dedup" -> audioDedupSql)
+    "llm_audio_dedup" -> audioDedupSql,
+    "llm_multimodal_dedup" -> multimodalDedupSql,
+    "llm_media_health" -> mediaHealthSql)
 }

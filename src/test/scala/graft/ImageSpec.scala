@@ -235,6 +235,21 @@ class ImageSpec extends SparkSpec {
     assert(minHd > 3, s"audio group fingerprints too close: $minHd")
   }
 
+  test("truncated payloads fail BOTH decoders (magic intact, header " +
+    "incomplete — the reader claims the container, then fails); valid " +
+    "payloads fail only the other modality's decoder") {
+    val png = MediaHeaders.buildPngGradient(20, 18, 2, 3, 7)
+    val wav = MediaHeaders.buildWavTone(8000, 400, 3700, 100)
+    for (p <- Seq(png.take(20), wav.take(20))) {
+      assert(Multimodal.decodeGray(p).isEmpty, "truncated must not decode")
+      assert(Multimodal.decodePcm16(p).isEmpty, "truncated must not decode")
+    }
+    assert(Multimodal.decodeGray(png).isDefined)
+    assert(Multimodal.decodePcm16(png).isEmpty, "PNG is not audio")
+    assert(Multimodal.decodePcm16(wav).isDefined)
+    assert(Multimodal.decodeGray(wav).isEmpty, "WAV is not an image")
+  }
+
   test("JPEG decode: exact dims, mean gray within the 2.0 band of the " +
     "lossless twin, across the gate's param space") {
     var worst = 0.0

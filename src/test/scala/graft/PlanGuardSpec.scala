@@ -127,7 +127,9 @@ class PlanGuardSpec extends SparkSpec {
     "llm_image_survivors" -> (3, 1, 0, 0),
     "llm_audio_stats" -> (1, 0, 0, 0),
     "llm_image_knn" -> (1, 0, 0, 0),
-    "llm_audio_dedup" -> (25, 3, 0, 4))
+    "llm_audio_dedup" -> (25, 3, 0, 4),
+    "llm_multimodal_dedup" -> (3, 1, 0, 0),
+    "llm_media_health" -> (4, 0, 0, 1))
 
   test("plan fingerprints hold for the headline set: exchange and " +
     "sort-merge-join counts bounded, top-k fusion and filter pushdown " +
