@@ -54,7 +54,7 @@ object Bench {
       "llm_multimodal_features", "llm_image_resize", "llm_image_jpeg",
       "llm_image_dedup", "llm_image_survivors", "llm_audio_stats",
       "llm_image_knn", "llm_audio_dedup", "llm_multimodal_dedup",
-      "llm_media_health")
+      "llm_media_health", "llm_hybrid_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

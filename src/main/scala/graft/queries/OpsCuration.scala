@@ -819,6 +819,103 @@ object OpsCuration extends Suite {
       |FROM q, probe WHERE q.vec_id <> 0
       |ORDER BY approx_dot DESC, q.vec_id LIMIT 20""".stripMargin
 
+  // -- hybrid retrieval: BM25 lexical top-50 and embedding-cosine top-50
+  //    fused by reciprocal-rank fusion (RRF, k0 = 60) — the standard
+  //    lexical+dense retrieval combiner (Cormack et al. 2009). Ranks are
+  //    computed WINDOW-FREE: each candidate set is ≤50 rows by
+  //    construction, so rank = 1 + |{strictly better rows}| via a
+  //    broadcast self-join — no unpartitioned WindowExec anywhere, and at
+  //    100 TB the only corpus-scale work is the two top-k passes (partial
+  //    BM25 aggregation + TakeOrdered cosine scan); fusion touches 2·k
+  //    rows. Candidate selection orders on RAW scores (bit-identical
+  //    across engines — the llm_embed_pairs threshold gate proves raw
+  //    cosine parity), ranking inside the set on ROUNDED score + id so
+  //    both engines rank identical keys. Docs missing from one list get
+  //    rank 0 and contribute a single RRF term — embeddings cover only a
+  //    prefix of the doc-id space at sf0.1, so the partial-overlap path
+  //    is exercised by the gate, not just theory. ------------------------
+  private val rrfK0 = 60
+  private val hybridK = 50
+  private def selfRank(df: org.apache.spark.sql.DataFrame,
+                       rankName: String): org.apache.spark.sql.DataFrame = {
+    val b = df.select(col("doc_id").as("__bid"), col("__s").as("__bs"))
+    df.join(b,
+        col("__bs") > col("__s") ||
+          (col("__bs") === col("__s") && col("__bid") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("__bid")) + 1).cast("long").as(rankName))
+  }
+  private val hybrid: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val lex = Curation.bm25Scores(
+        t.documents, "doc_id", col("text"), bm25Terms)
+      .select(col("doc_id"), col("score").as("__s"))
+      .orderBy(col("__s").desc, col("doc_id")).limit(hybridK)
+    val q = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    val vec = graft.operators.Similarity.topKForQuery(
+        t.embeddings.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, "q", k = hybridK)
+      .select(col("vec_id").as("doc_id"), round(col("cosine"), 6).as("__s"))
+    selfRank(lex, "rank_lex")
+      .join(selfRank(vec, "rank_vec"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK0) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK0) + col("rank_vec")), lit(0.0)),
+          9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+  private val hybridSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+      |    '\s+')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avg_len
+      |       FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('table', 'data', 'query', 'spark')
+      |       GROUP BY 1, 2),
+      |fr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |lex AS (SELECT tf.doc_id,
+      |  round(sum(ln(1.0 + (st.n_docs - fr.df + 0.5) / (fr.df + 0.5))
+      |    * (tf.tf * 2.2)
+      |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / st.avg_len))), 6)
+      |    AS s
+      |  FROM tf JOIN fr USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY tf.doc_id ORDER BY s DESC, doc_id LIMIT 50),
+      |lexr AS (SELECT a.doc_id,
+      |    CAST(1 + count(b.doc_id) AS BIGINT) AS rank_lex
+      |  FROM lex a LEFT JOIN lex b
+      |    ON b.s > a.s OR (b.s = a.s AND b.doc_id < a.doc_id)
+      |  GROUP BY a.doc_id),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      |      WHERE vec_id = 0),
+      |vec0 AS (SELECT vec_id AS doc_id,
+      |    list_dot_product(embedding::DOUBLE[], qv)
+      |      / (sqrt(list_dot_product(embedding::DOUBLE[],
+      |                               embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(qv, qv))) AS raw
+      |  FROM embeddings, q WHERE vec_id <> 0
+      |  ORDER BY raw DESC, doc_id LIMIT 50),
+      |vec AS (SELECT doc_id, round(raw, 6) AS s FROM vec0),
+      |vecr AS (SELECT a.doc_id,
+      |    CAST(1 + count(b.doc_id) AS BIGINT) AS rank_vec
+      |  FROM vec a LEFT JOIN vec b
+      |    ON b.s > a.s OR (b.s = a.s AND b.doc_id < a.doc_id)
+      |  GROUP BY a.doc_id),
+      |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+      |    CAST(coalesce(v.rank_vec, 0) AS BIGINT) AS rank_vec,
+      |    coalesce(1.0 / (60 + l.rank_lex), 0)
+      |      + coalesce(1.0 / (60 + v.rank_vec), 0) AS rrf
+      |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+      |SELECT doc_id, rank_lex, rank_vec, round(rrf, 9) AS rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_fixed" -> sampleFixed,
@@ -842,6 +939,7 @@ object OpsCuration extends Suite {
     "llm_chunking" -> chunking,
     "llm_pack_sequences" -> packSequences,
     "llm_bm25" -> bm25,
+    "llm_hybrid_retrieval" -> hybrid,
     "op_agg_percentile" -> percentiles,
     "llm_embed_quantize" -> quantize,
     "llm_embed_quantized_topk" -> quantizedTopk)
@@ -868,6 +966,7 @@ object OpsCuration extends Suite {
     "llm_chunking" -> chunkingSql,
     "llm_pack_sequences" -> packSequencesSql,
     "llm_bm25" -> bm25Sql,
+    "llm_hybrid_retrieval" -> hybridSql,
     "op_agg_percentile" -> percentilesSql,
     "llm_embed_quantize" -> quantizeSql,
     "llm_embed_quantized_topk" -> quantizedTopkSql)

@@ -405,6 +405,39 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getAs[Double]("symbol_ratio") == 0.0)
   }
 
+  test("hybrid RRF retrieval: rrf recomputes from the ranks, all three " +
+    "membership paths exercised, fusion beats single-list ranks, and the " +
+    "plan is window-free (rank via bounded self-join, not WindowExec)") {
+    val df = SparkEntry.queries("llm_hybrid_retrieval")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window leaked into:\n$plan")
+    val out = df.collect()
+    assert(out.length == 20)
+    def rrf(r: Long): Double = if (r == 0L) 0.0 else 1.0 / (60 + r)
+    out.foreach { row =>
+      val rl = row.getAs[Long]("rank_lex")
+      val rv = row.getAs[Long]("rank_vec")
+      assert(rl >= 0 && rl <= 50 && rv >= 0 && rv <= 50)
+      assert(rl > 0 || rv > 0, "a fused row must come from some list")
+      val expect = BigDecimal(rrf(rl) + rrf(rv))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Double]("rrf") == expect, s"rrf mismatch at $row")
+    }
+    // all three membership paths present at sf0.001
+    assert(out.exists(r => r.getAs[Long]("rank_lex") > 0 &&
+      r.getAs[Long]("rank_vec") == 0))
+    assert(out.exists(r => r.getAs[Long]("rank_lex") == 0 &&
+      r.getAs[Long]("rank_vec") > 0))
+    val both = out.filter(r => r.getAs[Long]("rank_lex") > 0 &&
+      r.getAs[Long]("rank_vec") > 0)
+    assert(both.nonEmpty, "no doc in both candidate lists at sf0.001")
+    // the point of RRF: a doc mid-ranked in BOTH lists outranks docs that
+    // top a single list — the winner must be a both-lists doc
+    val top = out.maxBy(_.getAs[Double]("rrf"))
+    assert(top.getAs[Long]("rank_lex") > 0 && top.getAs[Long]("rank_vec") > 0,
+      s"fusion winner should come from both lists: $top")
+  }
+
   test("gopherFilters is a pure map-side scan: no exchange, empty-safe") {
     val docs = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
     val plan = Curation.gopherFilters(docs, col("doc_id"), col("text"))

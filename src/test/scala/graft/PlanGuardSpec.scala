@@ -27,6 +27,10 @@ class PlanGuardSpec extends SparkSpec {
                                      // n_false_pos, recall_full)
     "llm_audio_dedup" -> 6,          // same shape as llm_image_dedup
     "llm_image_knn" -> 1,            // 1-row query-vector broadcast
+    "llm_hybrid_retrieval" -> 6,     // 1-row bm25 stats + 1-row query-vec
+                                     // crosses + two ≤50-row rank
+                                     // self-joins (non-equi by design —
+                                     // window-free ranking)
     "llm_embed_exact_pairs" -> 1,    // the documented quadratic baseline
     "llm_knn_graph" -> 2,            // exact-pair mode, both directions
     "llm_knn_density" -> 2,          // exact-pair mode, both directions
@@ -129,7 +133,11 @@ class PlanGuardSpec extends SparkSpec {
     "llm_image_knn" -> (1, 0, 0, 0),
     "llm_audio_dedup" -> (25, 3, 0, 4),
     "llm_multimodal_dedup" -> (3, 1, 0, 0),
-    "llm_media_health" -> (4, 0, 0, 1))
+    "llm_media_health" -> (4, 0, 0, 1),
+    // the 1 SMJ is the full-outer fusion of two ≤50-row rank sides (full
+    // outer cannot broadcast); corpus-scale work is only the two top-k
+    // passes
+    "llm_hybrid_retrieval" -> (24, 1, 0, 8))
 
   test("plan fingerprints hold for the headline set: exchange and " +
     "sort-merge-join counts bounded, top-k fusion and filter pushdown " +
