@@ -1061,7 +1061,14 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, found without
     * a quadratic pass: split the 64 bits into `blocks` 16-bit blocks — any
     * pair within Hamming ≤ blocks-1 shares at least one exact block
-    * (pigeonhole) — join per block, then filter on true bit_count. */
+    * (pigeonhole) — join per block, then filter on true bit_count.
+    *
+    * First-match emission: a pair sharing several blocks would surface once
+    * per shared block (up to 4×, and exactly 4× for the all-blocks-equal
+    * groups perceptual media dedup feeds in); instead of deduplicating with
+    * a `distinct()` — a full extra shuffle of the candidate set — each pair
+    * is kept only at its SMALLEST matching block (all lower blocks must
+    * differ). Every candidate then appears exactly once, by construction. */
   def simhashPairs(sim: DataFrame, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val blocks = 4 // 4 x 16-bit blocks covers maxHamming <= 3
@@ -1075,11 +1082,16 @@ object Dedup {
       col("simhash").as("sh_a"))
     val b = exploded.select(col("blk"), col("bv"), col(idCol).as("id_b"),
       col("simhash").as("sh_b"))
+    val firstMatch = (0 until blocks).map { j =>
+      when(col("blk") > j,
+        shiftrightunsigned(col("sh_a"), j * 16).bitwiseAND(0xFFFFL) =!=
+          shiftrightunsigned(col("sh_b"), j * 16).bitwiseAND(0xFFFFL))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     a.join(b, Seq("blk", "bv"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && firstMatch)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }
