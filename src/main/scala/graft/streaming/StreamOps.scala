@@ -120,6 +120,83 @@ object StreamOps {
       }
   }
 
+  /** Event projection carried through Bloom dedup (fp = key fingerprint). */
+  case class BEv(fp: Long, event_id: Long, user_id: Long,
+                 ts: java.sql.Timestamp, event_type: String)
+
+  /** Bloom shard state: fixed-size bitset + accepted-insert count. */
+  case class BloomShard(bits: Array[Byte], n: Long)
+
+  /** Streaming dedup with BOUNDED state — the streaming twin of the batch
+    * Bloom-prefiltered incremental dedup (Dedup.bloomIncremental), and the
+    * 100 TB answer to `dropDuplicates`' unbounded key-set state: total
+    * state is exactly nShards × mBits/8 bytes FOREVER, regardless of
+    * stream volume, so no watermark-eviction compromise is needed to keep
+    * the store finite. Semantics are one-sided like every Bloom use in
+    * this repo: a definitely-new key always passes (full dup recall — a
+    * true duplicate's bits are all set by its first occurrence), a key may
+    * be falsely "seen" with probability set by the m/n sizing (the only
+    * approximation; size mBits for the expected distinct-key budget).
+    * Events shard by fingerprint so the state store spreads evenly across
+    * executors; within a micro-batch events apply in (event-time,
+    * event_id) order so replay is deterministic. */
+  def bloomDedup(events: DataFrame, keys: Seq[String], nShards: Int = 64,
+                 mBits: Int = 1 << 16, kHashes: Int = 5): Dataset[BEv] = {
+    require(Integer.bitCount(nShards) == 1, "nShards must be a power of two")
+    require(mBits % 8 == 0, "mBits must be byte-aligned")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(xxhash64(keys.map(col): _*).as("fp"), col("event_id"),
+        col("user_id"), col("ts"), col("event_type")).as[BEv]
+      .groupByKey(e => (e.fp & (nShards - 1)).toInt)
+      .flatMapGroupsWithState[BloomShard, BEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[BEv], state: GroupState[BloomShard]) =>
+          val st = state.getOption.getOrElse(
+            BloomShard(new Array[Byte](mBits / 8), 0L))
+          val bits = st.bits.clone()
+          var n = st.n
+          val evs = it.toIndexedSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[BEv]
+          val pos = new Array[Int](kHashes)
+          // murmur3 finalizer: every output bit depends on every input bit
+          // — positions are taken mod mBits (low bits), so WITHOUT this a
+          // pair of keys agreeing in fp's low 16 bits would share all k
+          // positions and alias deterministically
+          def fmix64(x0: Long): Long = {
+            var x = x0 ^ (x0 >>> 33)
+            x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+            x *= 0xC4CEB9FE1A85EC53L; x ^ (x >>> 33)
+          }
+          evs.foreach { e =>
+            // Kirsch–Mitzenmacher double hashing: k positions from two
+            // independent full-width mixes of the 64-bit fingerprint
+            val h1 = fmix64(e.fp)
+            val h2 = fmix64(e.fp ^ 0x9E3779B97F4A7C15L) | 1L
+            var seen = true
+            var i = 0
+            while (i < kHashes) {
+              val p = (((h1 + i * h2) % mBits + mBits) % mBits).toInt
+              pos(i) = p
+              if ((bits(p >> 3) & (1 << (p & 7))) == 0) seen = false
+              i += 1
+            }
+            if (!seen) {
+              i = 0
+              while (i < kHashes) {
+                val p = pos(i)
+                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+                i += 1
+              }
+              n += 1
+              out += e
+            }
+          }
+          state.update(BloomShard(bits, n))
+          out.iterator
+      }
+  }
+
   /** Input projection for transition extraction. */
   case class TEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                  event_type: String)
