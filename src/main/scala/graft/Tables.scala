@@ -19,17 +19,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true so the
-    * column arrives as Long nanoseconds, converted here to a microsecond
-    * timestamp (integer `div` — a double division would lose precision on
-    * ~1.7e18 ns values). The synthetic data has zero sub-microsecond
-    * component, so the conversion is lossless. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others;
+    * normalize both to a session-zoned TimestampType column (sessions pin
+    * UTC) so downstream µs arithmetic (unix_micros, date_bin) always
+    * resolves.
+    *  - NANOS + spark.sql.legacy.parquet.nanosAsLong=true → LongType ns,
+    *    converted with integer `div` (a double division would lose
+    *    precision on ~1.7e18 ns values); the synthetic data has zero
+    *    sub-microsecond component, so this is lossless.
+    *  - MICROS naive → TIMESTAMP_NTZ under Spark's default NTZ inference;
+    *    cast to TimestampType reinterprets the same wall-clock instant in
+    *    the UTC session zone — lossless and identical to what the DuckDB
+    *    oracle reads. */
   def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingSpec extends SparkSpec {
 
   /** Stage the single events.parquet into a directory (FileStreamSource
-    * requires one), converting nanos→µs timestamps like Tables.events. */
+    * requires one), normalizing ts to session-zoned TIMESTAMP exactly like
+    * Tables.events (legacy nanos→Long and naive-micros→NTZ generations
+    * both occur in driver testdata). */
   private def stagedEventsStream(extraFiles: Seq[java.nio.file.Path] = Nil)
       : (org.apache.spark.sql.DataFrame, java.nio.file.Path) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -26,12 +28,27 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-    val streamTs =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val streamTs = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => stream
+    }
     (streamTs, dir)
   }
+
+  /** ts column of a staged extra file, matching the raw events schema so
+    * FileStreamSource reads both file generations uniformly. */
+  private def castToRawTs(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case _ => df
+    }
 
   test("flatMapGroupsWithState sessionization matches the batch plan") {
     import spark.implicits._
@@ -43,12 +60,9 @@ class StreamingSpec extends SparkSpec {
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
     val sentinelUser = -1L
     val sentinelFile = java.nio.file.Files.createTempDirectory("graft-sentinel")
-    val rawIsLong = spark.read.parquet(s"$sf/events.parquet")
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
     val sentinel = Seq((999999999L, sentinelTs, sentinelUser, "view", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val sentinelCast = if (rawIsLong)
-      sentinel.withColumn("ts", expr("unix_micros(ts) * 1000")) else sentinel
+    val sentinelCast = castToRawTs(sentinel)
     sentinelCast.coalesce(1).write.mode("overwrite")
       .parquet(sentinelFile.resolve("s").toString)
     val sentinelParquet = java.nio.file.Files
@@ -220,10 +234,13 @@ class StreamingSpec extends SparkSpec {
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema)
       .parquet(dir.toString)
-    val streamTs =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val streamTs = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => stream
+    }
     val agg = streamTs
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
