@@ -54,7 +54,11 @@ object Bench {
       "llm_multimodal_features", "llm_image_resize", "llm_image_jpeg",
       "llm_image_dedup", "llm_image_survivors", "llm_audio_stats",
       "llm_image_knn", "llm_audio_dedup", "llm_multimodal_dedup",
-      "llm_media_health", "llm_hybrid_retrieval")
+      "llm_media_health", "llm_hybrid_retrieval",
+      // round-6 additions: DSIR importance resampling, CCNet segment
+      // dedup, Unicode normalization, the skew-salted join, snapshot diff
+      "llm_dsir_select", "llm_dedup_lines", "llm_normalize",
+      "llm_salted_join", "llm_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -709,6 +709,114 @@ object Curation {
       .select(col(idCol), col("fluency"), col("bucket"))
   }
 
+  // ---- DSIR importance resampling ----------------------------------------
+
+  /** Hashed n-gram feature stream (unigrams + bigrams, lowercased) bucketed
+    * into `buckets` md5 buckets — the DSIR feature space (Xie et al.,
+    * NeurIPS 2023: "Data Selection for Language Models via Importance
+    * Resampling"). md5 rather than an engine-native hash so the feature
+    * map is bit-identical across engines and re-runs.
+    *
+    * One narrow (id, bucket) row per gram instance; pure map-side — no
+    * shuffle at any corpus size. */
+  def hashedGramBuckets(df: DataFrame, idCol: String, text: Column,
+                        buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val w = split(lower(trim(text)), "\\s+")
+    val tail = greatest(size(w) - 1, lit(0))
+    val bi = zip_with(slice(w, lit(1), tail), slice(w, lit(2), tail),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(idCol), explode(concat(w, bi)).as("__gram"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** Per-document DSIR importance log-weight: Σ over the doc's hashed-gram
+    * instances of ln p̂_target(b) − ln p̂_raw(b), both distributions add-1
+    * smoothed over the `buckets`-bucket feature space. High weight = the
+    * document looks like the target corpus.
+    *
+    * Scale design: the corpus collapses to TWO bucketed count tables
+    * (≤ `buckets` rows each — vocabulary-scale, broadcastable), the
+    * log-ratio table joins back to the gram stream as a broadcast, and the
+    * per-doc sum is one map-side-combined aggregation. The gram stream is
+    * produced once per input; nothing corpus-sized reaches the driver. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int): DataFrame = {
+    val rawG = Dedup.reuse(s"dsir:raw:$buckets",
+      hashedGramBuckets(raw, idCol, col(textCol), buckets))
+    val tgtG = hashedGramBuckets(target, idCol, col(textCol), buckets)
+    val rawCnt = rawG.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = tgtG.groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+    val nRaw = rawCnt.agg(sum(col("c_raw")).as("n_raw"))
+    val nTgt = tgtCnt.agg(sum(col("c_tgt")).as("n_tgt"))
+    val b = lit(buckets.toDouble)
+    val ratio = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+      .select(col("bucket"),
+        (log((coalesce(col("c_tgt"), lit(0L)) + lit(1.0)) / (col("n_tgt") + b))
+          - log((col("c_raw") + lit(1.0)) / (col("n_raw") + b))).as("__lr"))
+    rawG.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__lr")).as("logw"), count(lit(1)).as("n_grams"))
+  }
+
+  /** DSIR selection: Gumbel top-k over the importance weights — a sample
+    * WITHOUT replacement with inclusion probability ∝ exp(logw/τ), via the
+    * Gumbel-max trick on the deterministic md5-uniform of the document id
+    * (no RNG: engines and re-runs agree exactly). The key rounds to 6
+    * decimals BEFORE ranking (ln is only ~1-ulp reproducible across libms;
+    * ranking must see identical keys — same discipline as
+    * [[weightedSample]]), id as tiebreak.
+    *
+    * The top-k plans as TakeOrderedAndProject — per-partition k-heaps, no
+    * global sort of the corpus. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int, k: Int, tau: Double,
+                 salt: String): DataFrame = {
+    require(k > 0 && tau > 0, s"need k>0, tau>0; got k=$k tau=$tau")
+    val u = (sampleBucket(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("__key", round(col("logw") / lit(tau) - log(-log(u)), 6))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** Text-cleaning normalization pass: control characters (C0 + DEL) become
+    * spaces, whitespace runs collapse to one space, ends trimmed. Pure
+    * column expression — map-side, zero shuffle. Pairs with the
+    * [[graft.expressions.UnicodeNormalize]] NFC/NFKC pass. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(c, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
+  // ---- corpus snapshot diff ----------------------------------------------
+
+  /** Fingerprint diff of two corpus snapshots — the incremental-ingestion
+    * audit: which documents were added, removed, changed, or unchanged
+    * between yesterday's corpus and today's. Input is (id, fingerprint)
+    * per side; one full-outer join on id.
+    *
+    * Scale design: both sides reduce to narrow (id, md5) tables — 16-ish
+    * bytes/doc of join state at any corpus size — and the join keys on id
+    * (high-cardinality, skew-free). This is the state shape the
+    * incremental-dedup family already persists, reused for change audit. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   fpCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), col(fpCol).as("__fp_old"))
+    val n = newSnap.select(col(idCol), col(fpCol).as("__fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
+
   def epochShuffle(df: DataFrame, id: Column, seed: String): DataFrame = {
     val keyed = df
       .withColumn("__k", md5(concat(lit(seed), lit(":"), id.cast("string"))))

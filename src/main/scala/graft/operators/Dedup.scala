@@ -313,6 +313,46 @@ object Dedup {
           s => s.getField("w")), " ").as("clean_text"))
   }
 
+  /** CCNet-style corpus-wide exact segment dedup (Wenzek et al., LREC 2020
+    * dedup lines across ALL of Common Crawl; here "lines" are fixed
+    * `segWords`-word segments since the synthetic corpus has no newlines).
+    * Every segment is fingerprinted; the corpus-wide FIRST occurrence (min
+    * (doc, segment-index)) survives, every later exact copy — in other
+    * documents or later in the same one — is cut. Returns one row per doc:
+    * segment counts, duplicate ratio, and the rebuilt text with duplicate
+    * segments removed.
+    *
+    * Scale design: one map-side chunking pass; the canonical-occurrence
+    * table is a groupBy(fingerprint) min-struct aggregation (map-side
+    * combined, no per-key window), joined back on the fingerprint —
+    * high-cardinality, skew-free keys. Per-doc reassembly sorts only each
+    * document's own segments. State is (fp, doc, seg) — narrow at any
+    * corpus size, and mergeable across ingestion batches exactly like the
+    * incremental-dedup fingerprint battery. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int): DataFrame = {
+    require(segWords > 0, s"segWords=$segWords must be positive")
+    val segs = Curation.chunkDocuments(df, idCol, col(textCol), segWords, 0)
+      .select(col(idCol), col("chunk_ix"), col("chunk_text"),
+        md5(col("chunk_text")).as("__fp"))
+    val canon = segs.groupBy(col("__fp"))
+      .agg(min(struct(col(idCol), col("chunk_ix"))).as("__c"))
+      .select(col("__fp"), col("__c")(idCol).as("__cid"),
+        col("__c")("chunk_ix").as("__cix"))
+    segs.join(canon, Seq("__fp"))
+      .withColumn("__dup",
+        !(col(idCol) === col("__cid") && col("chunk_ix") === col("__cix")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("__dup"), lit(1L)).otherwise(lit(0L))).as("n_dup"),
+        array_join(transform(
+            array_sort(collect_list(when(!col("__dup"),
+              struct(col("chunk_ix"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("clean_text"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_seg"), 6))
+  }
+
   // --- shingling ---------------------------------------------------------
 
   /** Distinct word-n-gram shingles, one row per (id, shingleHash). Tokens

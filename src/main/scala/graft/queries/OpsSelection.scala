@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Dedup, Scale}
+import graft.expressions.UnicodeNormalize
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation additions: DSIR importance resampling, CCNet-style
+  * corpus-wide segment dedup, Unicode normalization, the skew-salted join,
+  * and corpus snapshot diffing. Every query has an exact DuckDB oracle —
+  * determinism (md5 buckets/fingerprints, rounded transcendentals,
+  * construction-arithmetic inputs) is part of each operator's design.
+  */
+object OpsSelection extends Suite {
+
+  private val salt = "graft-dsir-v1:"
+
+  // -- DSIR importance resampling (Xie et al., NeurIPS 2023): hashed
+  //    unigram+bigram buckets, add-1-smoothed target/raw log-likelihood
+  //    ratio per doc, Gumbel top-k on the deterministic md5-uniform.
+  //    Target corpus = the src0 slice (a "high-quality subset" proxy).
+  //    round(6) before ranking absorbs ln's ~1-ulp libm divergence and the
+  //    cross-engine double-summation order. ------------------------------
+  private val buckets = 4096
+  private val dsirSelect: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("text"), col("source"))
+    Curation.dsirSelect(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", buckets = buckets, k = 100, tau = 1.0, salt)
+      .select(col("doc_id"), round(col("logw"), 6).as("logw"),
+        col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+  private val dsirSelectSql =
+    s"""WITH tk AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(tk) AS gram FROM tk
+      |      UNION ALL
+      |      SELECT doc_id, tk[i] || ' ' || tk[i + 1]
+      |      FROM tk, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      |      WHERE len(tk) >= 2),
+      |b AS (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % $buckets
+      |          AS bucket
+      |      FROM g),
+      |tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      |craw AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY 1),
+      |ctgt AS (SELECT bucket, count(*) AS c_tgt
+      |         FROM b JOIN tgt USING (doc_id) GROUP BY 1),
+      |nr AS (SELECT sum(c_raw) AS n_raw FROM craw),
+      |nt AS (SELECT sum(c_tgt) AS n_tgt FROM ctgt),
+      |lr AS (SELECT bucket,
+      |         ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + $buckets.0))
+      |         - ln((c_raw + 1.0) / (n_raw + $buckets.0)) AS lr
+      |       FROM craw LEFT JOIN ctgt USING (bucket)
+      |       CROSS JOIN nr CROSS JOIN nt),
+      |wt AS (SELECT b.doc_id, sum(lr) AS logw, count(*) AS n_grams
+      |       FROM b JOIN lr USING (bucket) GROUP BY 1),
+      |sel AS (SELECT doc_id, logw, n_grams,
+      |          round(logw - ln(-ln((CAST(('0x' || substr(md5('$salt'
+      |            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+      |            / 4294967296.0)), 6) AS k
+      |        FROM wt ORDER BY k DESC, doc_id LIMIT 100)
+      |SELECT doc_id, round(logw, 6) AS logw, n_grams
+      |FROM sel ORDER BY doc_id""".stripMargin
+
+  // -- CCNet-style corpus-wide segment dedup: planted 8-word blocks (one
+  //    of 4, chosen by doc_id % 4, PREPENDED so they align on the segment
+  //    grid) are exact-duplicated across ~125 docs each; the corpus-wide
+  //    first occurrence survives, every later copy is cut. Both engines
+  //    construct the same input and replay the same min-(doc,seg)
+  //    canonicalization. ------------------------------------------------
+  private val segWords = 8
+  private val blocks = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "one two three four five six seven eight",
+    "north south east west up down left right",
+    "red orange yellow green blue indigo violet umber")
+  private val dedupLines: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val planted = t.documents.select(col("doc_id"),
+      concat(element_at(array(blocks.map(lit): _*),
+          pmod(col("doc_id"), lit(4)).cast("int") + 1),
+        lit(" "), col("text")).as("text"))
+    Dedup.segmentDedup(planted, "doc_id", "text", segWords)
+      .select(col("doc_id"), col("n_seg"), col("n_dup"), col("dup_ratio"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val dedupLinesSql = {
+    val caseBlock = blocks.zipWithIndex
+      .map { case (b, i) => s"WHEN $i THEN '$b'" }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id,
+      |    (CASE doc_id % 4 $caseBlock END) || ' ' || text AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS tk
+      |       FROM d),
+      |w AS (SELECT doc_id, tk[i] AS w,
+      |        CAST(floor((i - 1) / $segWords) AS BIGINT) AS seg, i
+      |      FROM tk, unnest(generate_series(1, len(tk))) AS t(i)),
+      |s AS (SELECT doc_id, seg,
+      |        string_agg(w, ' ' ORDER BY i) AS seg_text
+      |      FROM w GROUP BY 1, 2),
+      |r AS (SELECT doc_id, seg, seg_text, row_number() OVER
+      |        (PARTITION BY md5(seg_text) ORDER BY doc_id, seg) AS rn
+      |      FROM s)
+      |SELECT doc_id, count(*) AS n_seg,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+      |    ' ' ORDER BY seg), '') AS clean_text
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -- Unicode normalization: NFC composes planted decomposed accents
+  //    (verified against DuckDB's nfc_normalize), NFKC folds fullwidth /
+  //    double-struck / ligature forms to their compatibility images
+  //    (construction arithmetic: inputs are built from known codepoints,
+  //    so the oracle states the known image — same method as the media
+  //    header oracles), and cleanText strips planted control characters.
+  private val normalize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    // "cafe" + combining acute + "A" + combining grave: NFC composes both
+    val dec = concat(substring(col("text"), 1, 30),
+      lit(" cafe\u0301 A\u0300"))
+    // fullwidth A, fullwidth !, double-struck C, ff ligature, fullwidth
+    // digit of doc_id%10 — NFKC image is "A!Cff<digit>"
+    val fwDigits = array((0 to 9).map(d =>
+      lit(new String(Character.toChars(0xFF10 + d)))): _*)
+    val fw = concat(lit("\uFF21\uFF01\u2102\uFB00"),
+      element_at(fwDigits, pmod(col("doc_id"), lit(10)).cast("int") + 1))
+    val messy = concat(lit("\u0007\t "), substring(col("text"), 1, 20),
+      lit("  x\u001b\ty "))
+    t.documents.select(
+        col("doc_id"),
+        length(dec).as("raw_len"),
+        length(UnicodeNormalize.nfc(s, dec)).as("nfc_len"),
+        UnicodeNormalize.nfc(s, dec).as("nfc_text"),
+        UnicodeNormalize.nfkc(s, fw).as("nfkc_text"),
+        Curation.cleanText(messy).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val normalizeSql =
+    """WITH s AS (SELECT doc_id,
+      |    substr(text, 1, 30) || ' cafe' || chr(769) || ' A' || chr(768)
+      |      AS dec,
+      |    chr(7) || chr(9) || ' ' || substr(text, 1, 20) || '  x'
+      |      || chr(27) || chr(9) || 'y ' AS messy
+      |  FROM documents)
+      |SELECT doc_id,
+      |  length(dec) AS raw_len,
+      |  length(nfc_normalize(dec)) AS nfc_len,
+      |  nfc_normalize(dec) AS nfc_text,
+      |  'A!Cff' || CAST(doc_id % 10 AS VARCHAR) AS nfkc_text,
+      |  trim(regexp_replace(regexp_replace(messy,
+      |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // -- skew-salted join, gated for RESULT EQUALITY against the plain join
+  //    (the salt must never change semantics): lineitem⋈part on partkey
+  //    through Scale.saltedJoin with 8 salts and a shuffle-hash hint (the
+  //    salted path exists for keys too hot to broadcast around), then a
+  //    brand-level rollup. round(2) absorbs double-summation order. ------
+  private val saltedJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Scale.saltedJoin(t.lineitem, t.part.hint("shuffle_hash"),
+        "l_partkey", "p_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+  private val saltedJoinSql =
+    """SELECT p_brand, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -- corpus snapshot diff: the old snapshot is derived deterministically
+  //    from the new one (docs %7=0 absent → added; %5=0 truncated →
+  //    changed; planted +100000 ids → removed), so both engines replay the
+  //    identical fingerprint diff. ---------------------------------------
+  private val snapshotDiff: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val newSnap = docs.withColumn("fp", md5(col("text")))
+    val oldBase = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          substring(col("text"), 1, 50)).otherwise(col("text")))
+    val oldExtra = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val oldSnap = oldBase.unionByName(oldExtra)
+      .withColumn("fp", md5(col("text")))
+    Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+  private val snapshotDiffSql =
+    """WITH newsnap AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |old1 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 50)
+      |             ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |old2 AS (SELECT doc_id + 100000 AS doc_id, md5(text) AS fp
+      |         FROM documents WHERE doc_id % 11 = 0),
+      |oldsnap AS (SELECT * FROM old1 UNION ALL SELECT * FROM old2),
+      |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |        CASE WHEN o.fp IS NULL THEN 'added'
+      |             WHEN n.fp IS NULL THEN 'removed'
+      |             WHEN o.fp = n.fp THEN 'unchanged'
+      |             ELSE 'changed' END AS status
+      |      FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "llm_dsir_select" -> dsirSelect,
+    "llm_dedup_lines" -> dedupLines,
+    "llm_normalize" -> normalize,
+    "llm_salted_join" -> saltedJoin,
+    "llm_snapshot_diff" -> snapshotDiff)
+
+  def oracle: Map[String, String] = Map(
+    "llm_dsir_select" -> dsirSelectSql,
+    "llm_dedup_lines" -> dedupLinesSql,
+    "llm_normalize" -> normalizeSql,
+    "llm_salted_join" -> saltedJoinSql,
+    "llm_snapshot_diff" -> snapshotDiffSql)
+}

@@ -57,6 +57,9 @@ class PlanGuardSpec extends SparkSpec {
                                      // broadcast + 2 summary-row crosses
     "llm_temperature_mix" -> 1,      // 1-row Σ n_g^α total aggregate
     "llm_vocab_coverage" -> 1,       // 1-row top-K sum × 1-row totals
+    "llm_dsir_select" -> 2,          // 1-row gram-total aggregates (n_raw,
+                                     // n_tgt) crossed into the ≤buckets-row
+                                     // log-ratio table
     "llm_distinct_sketch" -> 1,      // 1-row merged sketch × 1-row exact
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance

@@ -1,0 +1,118 @@
+package graft
+
+import graft.expressions.UnicodeNormalize
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators: DSIR importance resampling, CCNet-style
+  * segment dedup, Unicode normalization, snapshot diff. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- UnicodeNormalize --------------------------------------------------
+
+  test("NFC composes decomposed accents; idempotent on composed input") {
+    val df = Seq("cafe\u0301", "caf\u00e9", "A\u0300", "plain").toDF("s")
+    val out = df.select(UnicodeNormalize.nfc(spark, col("s")).as("n"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("caf\u00e9", "caf\u00e9", "\u00c0", "plain"))
+  }
+
+  test("NFKC folds fullwidth, double-struck, and ligature forms") {
+    val df = Seq("\uFF21\uFF01", "\u2102", "\uFB00", "\uFF15").toDF("s")
+    val out = df.select(UnicodeNormalize.nfkc(spark, col("s")).as("n"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("A!", "C", "ff", "5"))
+  }
+
+  test("UnicodeNormalize propagates null and rejects non-string input") {
+    val out = Seq[(Integer, String)]((1, null)).toDF("i", "s")
+      .select(UnicodeNormalize.nfc(spark, col("s"))).collect()
+    assert(out.head.isNullAt(0))
+    intercept[Exception] {
+      Seq(1).toDF("i").select(UnicodeNormalize.nfc(spark, col("i"))).collect()
+    }
+  }
+
+  test("cleanText strips control chars and collapses whitespace") {
+    val df = Seq("a\tb  c ", " \t ", "ok").toDF("s")
+    val out = df.select(Curation.cleanText(col("s")).as("c"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("a b c", "", "ok"))
+  }
+
+  // ---- segmentDedup ------------------------------------------------------
+
+  test("segmentDedup keeps the corpus-wide first occurrence of a segment") {
+    // 4-word segments; docs 1 and 2 share an identical first segment,
+    // doc 3 repeats its own first segment later (within-doc dup)
+    val df = Seq(
+      (1L, "a b c d e f"),          // segs: [a b c d], [e f]
+      (2L, "a b c d x y"),          // first seg duplicates doc 1's
+      (3L, "p q r s p q r s")       // second seg duplicates its own first
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_seg", "n_dup", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 0L, "a b c d e f")))
+    assert(out(1) == ((2L, 2L, 1L, "x y")))
+    assert(out(2) == ((3L, 2L, 1L, "p q r s")))
+  }
+
+  test("segmentDedup dup_ratio is exact and zero for unique docs") {
+    val df = Seq((1L, "u v w x"), (2L, "m n o p")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .select("dup_ratio").as[Double].collect()
+    assert(out.forall(_ == 0.0))
+  }
+
+  // ---- DSIR --------------------------------------------------------------
+
+  test("hashedGramBuckets emits 2n-1 grams per doc, all within range") {
+    val df = Seq((1L, "w1 w2 w3"), (2L, "solo")).toDF("doc_id", "text")
+    val g = Curation.hashedGramBuckets(df, "doc_id", col("text"), 64)
+    val perDoc = g.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc(1L) == 5L) // 3 unigrams + 2 bigrams
+    assert(perDoc(2L) == 1L)
+    val range = g.agg(min("bucket"), max("bucket")).first()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 64L)
+  }
+
+  test("dsirSelect prefers docs that look like the target distribution") {
+    // target-like docs repeat the gram 'quality data'; noise docs don't
+    val docs = ((1 to 20).map(i => (i.toLong, "quality data " * 5 + s"t$i",
+        if (i <= 10) "tgt" else "raw")) ++
+      (21 to 40).map(i => (i.toLong, s"noise junk filler n$i x$i y$i",
+        "raw"))).toDF("doc_id", "text", "kind")
+    val sel = Curation.dsirSelect(docs, docs.filter(col("kind") === "tgt"),
+        "doc_id", "text", buckets = 512, k = 15, tau = 0.25,
+        salt = "spec:")
+      .select("doc_id").as[Long].collect().toSet
+    // at low temperature the 20 target-like docs dominate the selection
+    assert(sel.count(_ <= 20L) >= 12)
+  }
+
+  test("dsirWeights: target-like docs carry higher importance weight") {
+    val docs = Seq(
+      (1L, "good clean prose", "t"), (2L, "good clean prose", "t"),
+      (3L, "good clean prose", "r"), (4L, "zz yy xx ww", "r"))
+      .toDF("doc_id", "text", "kind")
+    val w = Curation.dsirWeights(docs,
+        docs.filter(col("kind") === "t"), "doc_id", "text", 256)
+      .as[(Long, Double, Long)].collect()
+      .map { case (k, lw, _) => (k, lw) }.toMap
+    assert(w(3L) > w(4L)) // matches target grams → higher logw
+  }
+
+  // ---- snapshotDiff ------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "fpA"), (2L, "fpB"), (3L, "fpC")).toDF("id", "fp")
+    val neu = Seq((2L, "fpB"), (3L, "fpC2"), (4L, "fpD")).toDF("id", "fp")
+    val out = Curation.snapshotDiff(old, neu, "id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+}
