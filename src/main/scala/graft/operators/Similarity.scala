@@ -400,6 +400,41 @@ object Similarity {
       .agg(avg(col("cosine")).as("knn_density"),
         count(lit(1)).as("n_neighbors"))
 
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * cosine neighborhood ([[knnGraph]]) split by label — the nearest
+    * same-label neighbor (easiest positive), the nearest DIFFERENT-label
+    * neighbor (the hard negative a contrastive batch wants), how many of
+    * the k neighbors are negatives, and the margin between them. A small
+    * or negative margin marks the anchors sitting on a label boundary —
+    * the rows worth oversampling (or auditing for mislabels) before
+    * training.
+    *
+    * Scale design: inherits knnGraph's modes — exact pairs for validation,
+    * IVF-blocked for corpora where quadratic is impossible — and adds only
+    * two label equi-joins (broadcastable narrow (id, label) sides) plus a
+    * map-side-combined conditional aggregation per anchor. Nulls where the
+    * neighborhood is single-label (no negative seen) or all-negative (no
+    * positive seen). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, nlist: Int = 0,
+                    probes: Int = 3, iters: Int = 2,
+                    seed: Long = 42L): DataFrame = {
+    val labels = corpus.select(col(idCol), col(labelCol))
+    val g = knnGraph(corpus, idCol, vecCol, k, nlist, probes, iters, seed)
+    val same = col("__src_label") === col("__dst_label")
+    g.join(labels.select(col(idCol).as("src"),
+        col(labelCol).as("__src_label")), Seq("src"))
+      .join(labels.select(col(idCol).as("dst"),
+        col(labelCol).as("__dst_label")), Seq("dst"))
+      .groupBy(col("src").as(idCol))
+      .agg(
+        round(max(when(same, col("cosine"))), 6).as("pos_cos"),
+        round(max(when(!same, col("cosine"))), 6).as("neg_cos"),
+        round(max(when(same, col("cosine")))
+          - max(when(!same, col("cosine"))), 6).as("margin"),
+        sum(when(!same, lit(1L)).otherwise(lit(0L))).as("n_neg"))
+  }
+
   /** Per-label centroid diagnostics over a labeled embedding corpus: for
     * each label, the member count, the centroid's L2 norm, and the
     * mean/min cosine of members to their OWN label centroid ("purity") —

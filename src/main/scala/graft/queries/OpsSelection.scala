@@ -221,17 +221,53 @@ object OpsSelection extends Suite {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  // -- hard-negative mining (contrastive-training prep): each anchor's
+  //    top-10 cosine neighborhood split by label — nearest positive,
+  //    nearest (hard) negative, margin, negative count. Exact-pair mode at
+  //    gate SF; the oracle replays the identical rank + conditional
+  //    aggregation. round(6) on emit; ranking on raw cosines, the same
+  //    discipline llm_knn_graph has held green since round 3. ------------
+  private val hardNegatives: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.operators.Similarity.hardNegatives(
+        t.embeddings, "vec_id", "embedding", "label", k = 10, nlist = 0)
+      .orderBy(col("vec_id"))
+  }
+  private val hardNegativesSql =
+    """WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    a.label AS sl, b.label AS dl,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                               a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                                 b.embedding::DOUBLE[]))) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, sl, dl, c,
+      |        row_number() OVER (PARTITION BY src
+      |          ORDER BY c DESC, dst) AS rn
+      |      FROM s)
+      |SELECT src AS vec_id,
+      |  round(max(CASE WHEN sl = dl THEN c END), 6) AS pos_cos,
+      |  round(max(CASE WHEN sl <> dl THEN c END), 6) AS neg_cos,
+      |  round(max(CASE WHEN sl = dl THEN c END)
+      |    - max(CASE WHEN sl <> dl THEN c END), 6) AS margin,
+      |  CAST(sum(CASE WHEN sl <> dl THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |FROM r WHERE rn <= 10 GROUP BY src
+      |ORDER BY vec_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
     "llm_normalize" -> normalize,
     "llm_salted_join" -> saltedJoin,
-    "llm_snapshot_diff" -> snapshotDiff)
+    "llm_snapshot_diff" -> snapshotDiff,
+    "llm_hard_negatives" -> hardNegatives)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
     "llm_dedup_lines" -> dedupLinesSql,
     "llm_normalize" -> normalizeSql,
     "llm_salted_join" -> saltedJoinSql,
-    "llm_snapshot_diff" -> snapshotDiffSql)
+    "llm_snapshot_diff" -> snapshotDiffSql,
+    "llm_hard_negatives" -> hardNegativesSql)
 }

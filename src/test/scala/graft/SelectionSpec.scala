@@ -105,6 +105,38 @@ class SelectionSpec extends SparkSpec {
     assert(w(3L) > w(4L)) // matches target grams → higher logw
   }
 
+  // ---- hardNegatives -----------------------------------------------------
+
+  test("hardNegatives: separated clusters give positive margin; the " +
+    "boundary anchor gives the smallest") {
+    // two tight 2-D clusters; anchor 5 sits between them (labeled 0)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.05f, 0.95f), 1),
+      (5L, Array(0.72f, 0.69f), 0)).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.hardNegatives(
+        vecs, "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // core anchors: positive margin (own cluster closer than the other)
+    assert(out(1L)._3 > 0 && out(3L)._3 > 0)
+    // every anchor sees both labels among its 4 neighbors
+    assert(out.values.forall(v => v._4 >= 1 && v._4 <= 4))
+    // the planted boundary anchor has the smallest margin of label-0 rows
+    assert(out(5L)._3 < out(1L)._3 && out(5L)._3 < out(2L)._3)
+  }
+
+  test("hardNegatives: single-label neighborhood yields null negative") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 0)).toDF("vec_id", "embedding", "label")
+    val rows = graft.operators.Similarity.hardNegatives(
+        vecs, "vec_id", "embedding", "label", k = 2).collect()
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    assert(rows.forall(r => r.getLong(4) == 0L))
+  }
+
   // ---- snapshotDiff ------------------------------------------------------
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
