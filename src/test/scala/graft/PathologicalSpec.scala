@@ -133,6 +133,44 @@ class PathologicalSpec extends SparkSpec {
       driver(h.toLong + 57L) == h.toLong))
   }
 
+  test("all-identical corpus: segmentDedup keeps exactly one copy of " +
+    "every segment and cuts the other 49,999") {
+    // 50k byte-identical docs of 3 segments each: the fingerprint table
+    // collapses to 3 keys, the hot-fp join stays 1:N (canon side is ONE
+    // row per key — never a pair blowup), and only doc 0 survives intact
+    val df = spark.range(50000L).select(col("id").as("doc_id"),
+      lit("a b c d e f g h i j k l").as("text"))
+    val out = graft.operators.Dedup.segmentDedup(df, "doc_id", "text", 4)
+    val agg = out.agg(
+      sum(when(col("n_dup") === 0L, 1L).otherwise(0L)),
+      sum(col("n_dup")),
+      sum(when(col("clean_text") === "", 1L).otherwise(0L))).first()
+    assert(agg.getLong(0) == 1L)           // only the min-id doc is clean
+    assert(agg.getLong(1) == 3L * 49999L)  // every other segment cut
+    assert(agg.getLong(2) == 49999L)       // later copies fully emptied
+  }
+
+  test("ultra-hot DSIR bucket: one gram dominating the corpus still " +
+    "yields a broadcastable ratio table bounded by the bucket count") {
+    // 20k docs all repeating one gram + a unique tail token: the hot
+    // bucket holds ~40k instances, but the ratio table stays <= buckets
+    // rows (the broadcast contract) and weights remain finite
+    val docs = spark.range(20000L).select(col("id").as("doc_id"),
+      concat(lit("hot hot hot t"), col("id").cast("string")).as("text"))
+    val tgt = docs.filter(col("doc_id") % 10L === 0L)
+    val w = graft.operators.Curation.dsirWeights(
+      docs, tgt, "doc_id", "text", buckets = 1024)
+    val ratioRows = graft.operators.Curation.hashedGramBuckets(
+      docs, "doc_id", col("text"), 1024)
+      .select(col("bucket")).distinct().count()
+    assert(ratioRows <= 1024L, "ratio table must stay bucket-bounded")
+    val stats = w.agg(count(lit(1)),
+      sum(when(col("logw").isNull || isnan(col("logw")), 1L)
+        .otherwise(0L))).first()
+    assert(stats.getLong(0) == 20000L)
+    assert(stats.getLong(1) == 0L, "weights must stay finite under skew")
+  }
+
   test("union-find string ids: driver and distributed paths agree on the " +
     "canonical label for all of Unicode (code-point order, not UTF-16)") {
     // U+E000 sorts AFTER the supplementary char U+10000 in UTF-16 code

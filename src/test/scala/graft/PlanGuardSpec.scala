@@ -141,7 +141,18 @@ class PlanGuardSpec extends SparkSpec {
     // the 1 SMJ is the full-outer fusion of two ≤50-row rank sides (full
     // outer cannot broadcast); corpus-scale work is only the two top-k
     // passes
-    "llm_hybrid_retrieval" -> (24, 1, 0, 8))
+    "llm_hybrid_retrieval" -> (24, 1, 0, 8),
+    // round-6 additions. dsir: gram stream persisted once + two count
+    // aggregations + broadcast ratio join + top-k. snapshot_diff's 1 SMJ
+    // is the id full-outer (cannot broadcast). hard_negatives: exact-pair
+    // base + two GroupedTopK renders (cached subtree prints under both
+    // label-join consumers).
+    "llm_dsir_select" -> (11, 0, 0, 2),
+    "llm_dedup_lines" -> (4, 0, 0, 0),
+    "llm_normalize" -> (1, 0, 0, 0),
+    "llm_salted_join" -> (4, 0, 0, 2),
+    "llm_snapshot_diff" -> (4, 1, 0, 2),
+    "llm_hard_negatives" -> (7, 0, 2, 6))
 
   test("plan fingerprints hold for the headline set: exchange and " +
     "sort-merge-join counts bounded, top-k fusion and filter pushdown " +
