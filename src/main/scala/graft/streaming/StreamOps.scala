@@ -197,6 +197,82 @@ object StreamOps {
       }
   }
 
+  /** Exploded segment row for streaming segment dedup. */
+  case class SegRow(fp: Long, doc_id: Long, chunk_ix: Long,
+                    chunk_text: String)
+
+  /** Streaming twin of `Dedup.segmentDedup`: documents arrive on an
+    * unbounded stream, each micro-batch explodes into fixed-`segWords`
+    * word segments, and a segment whose fingerprint the corpus has
+    * already emitted is dropped — CCNet line-dedup as a continuous
+    * ingestion filter. State is the same sharded Bloom battery as
+    * [[bloomDedup]]: fixed `nShards × mBits` bits FOREVER, no watermark
+    * tradeoff, mergeable across restarts. Within a micro-batch segments
+    * process in (doc_id, chunk_ix) order, so the batch-mode min-(doc,seg)
+    * canonicalization is reproduced exactly for same-batch duplicates.
+    * Bloom false positives can over-drop a genuinely new segment at the
+    * configured fpp — the safe direction for dedup (never a duplicate
+    * emitted twice); size mBits for the corpus like the batch
+    * bloomIncremental path. Emits surviving (doc, segment) rows; per-doc
+    * reassembly is a downstream batch concat, exactly as the batch
+    * operator's final groupBy. */
+  def segmentBloomDedup(docs: DataFrame, idCol: String, textCol: String,
+                        segWords: Int, nShards: Int = 64,
+                        mBits: Int = 1 << 16,
+                        kHashes: Int = 5): Dataset[SegRow] = {
+    require(Integer.bitCount(nShards) == 1, "nShards must be a power of two")
+    require(mBits % 8 == 0, "mBits must be byte-aligned")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = graft.operators.Curation.chunkDocuments(
+        docs, idCol, col(textCol), segWords, 0)
+      .select(xxhash64(col("chunk_text")).as("fp"),
+        col(idCol).cast("long").as("doc_id"),
+        col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk_text")).as[SegRow]
+    segs.groupByKey(r => (r.fp & (nShards - 1)).toInt)
+      .flatMapGroupsWithState[BloomShard, SegRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[SegRow], state: GroupState[BloomShard]) =>
+          val st = state.getOption.getOrElse(
+            BloomShard(new Array[Byte](mBits / 8), 0L))
+          val bits = st.bits.clone()
+          var n = st.n
+          val rows = it.toIndexedSeq.sortBy(r => (r.doc_id, r.chunk_ix))
+          val out = scala.collection.mutable.ListBuffer.empty[SegRow]
+          val pos = new Array[Int](kHashes)
+          def fmix64(x0: Long): Long = {
+            var x = x0 ^ (x0 >>> 33)
+            x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+            x *= 0xC4CEB9FE1A85EC53L; x ^ (x >>> 33)
+          }
+          rows.foreach { r =>
+            val h1 = fmix64(r.fp)
+            val h2 = fmix64(r.fp ^ 0x9E3779B97F4A7C15L) | 1L
+            var seen = true
+            var i = 0
+            while (i < kHashes) {
+              val p = (((h1 + i * h2) % mBits + mBits) % mBits).toInt
+              pos(i) = p
+              if ((bits(p >> 3) & (1 << (p & 7))) == 0) seen = false
+              i += 1
+            }
+            if (!seen) {
+              i = 0
+              while (i < kHashes) {
+                val p = pos(i)
+                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+                i += 1
+              }
+              n += 1
+              out += r
+            }
+          }
+          state.update(BloomShard(bits, n))
+          out.iterator
+      }
+  }
+
   /** Input projection for transition extraction. */
   case class TEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                  event_type: String)

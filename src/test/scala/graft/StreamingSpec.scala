@@ -224,6 +224,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming segment Bloom dedup: cross-batch duplicate segments " +
+    "dropped, batch-mode canonical order within a batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.segmentBloomDedup(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text", segWords = 4)
+    val qname = "stream_seg_" + System.nanoTime()
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      // batch 1: docs 1 and 2 share their first segment; min doc id wins
+      in.addData((1L, "a b c d e f g h"), (2L, "a b c d x y z w"))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats doc 1's SECOND segment (cross-batch dup)
+      // plus one new segment
+      in.addData((3L, "e f g h n o p q"))
+      q.processAllAvailable()
+      val got = spark.table(qname)
+        .select("doc_id", "chunk_ix", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set(
+        (1L, 0L, "a b c d"), (1L, 1L, "e f g h"),
+        (2L, 1L, "x y z w"), (3L, 1L, "n o p q")),
+        s"wrong surviving segment set: $got")
+      // the same corpus through the batch operator keeps the same
+      // SEGMENT TEXT multiset (canonical owner may differ by arrival)
+      val batchKept = graft.operators.Dedup.segmentDedup(
+          Seq((1L, "a b c d e f g h"), (2L, "a b c d x y z w"),
+            (3L, "e f g h n o p q")).toDF("doc_id", "text"),
+          "doc_id", "text", 4)
+        .agg(sum(col("n_seg") - col("n_dup"))).first().getLong(0)
+      assert(got.size.toLong == batchKept)
+    } finally q.stop()
+  }
+
   test("streamed tumbling-window counts match the batch plan") {
     val t = Tables(spark, sf)
     // FileStreamSource requires a directory; stage the single parquet file
