@@ -58,7 +58,8 @@ object Bench {
       // round-6 additions: DSIR importance resampling, CCNet segment
       // dedup, Unicode normalization, the skew-salted join, snapshot diff
       "llm_dsir_select", "llm_dedup_lines", "llm_normalize",
-      "llm_salted_join", "llm_snapshot_diff", "llm_hard_negatives")
+      "llm_salted_join", "llm_snapshot_diff", "llm_hard_negatives",
+      "llm_hard_negatives_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -255,13 +255,43 @@ object OpsSelection extends Suite {
       |FROM r WHERE rn <= 10 GROUP BY src
       |ORDER BY vec_id""".stripMargin
 
+  // -- IVF-mode hard negatives, recall-gated (the scale path: quadratic
+  //    exact pairs are impossible at corpus size; IVF-blocked candidates
+  //    must still surface the same hard negative). Agreement = null-safe
+  //    equality of the per-anchor hard-negative cosine vs exact mode.
+  //    probes=5/nlist=16 measured 0.99 at sf0.01 AND sf0.1 before the 0.9
+  //    threshold was frozen (probes=3 sat at 0.81 — too tight to gate).
+  //    Oracle states n_anchors exactly and the boolean as TRUE: a recall
+  //    regression flips it and the hash diverges. -----------------------
+  private val hardNegativesIvf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ex = graft.operators.Similarity.hardNegatives(
+        t.embeddings, "vec_id", "embedding", "label", k = 10, nlist = 0)
+      .select(col("vec_id"), col("neg_cos").as("__neg_exact"))
+    val iv = graft.operators.Similarity.hardNegatives(
+        t.embeddings, "vec_id", "embedding", "label", k = 10, nlist = 16,
+        probes = 5)
+      .select(col("vec_id"), col("neg_cos").as("__neg_ivf"))
+    ex.join(iv, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("__neg_ivf") <=> col("__neg_exact"), lit(1L))
+          .otherwise(lit(0L))).as("__match"))
+      .select(col("n_anchors"),
+        (col("__match").cast("double") / col("n_anchors") >= 0.9)
+          .as("hard_neg_recall_ok"))
+  }
+  private val hardNegativesIvfSql =
+    """SELECT count(*) AS n_anchors, TRUE AS hard_neg_recall_ok
+      |FROM embeddings""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
     "llm_normalize" -> normalize,
     "llm_salted_join" -> saltedJoin,
     "llm_snapshot_diff" -> snapshotDiff,
-    "llm_hard_negatives" -> hardNegatives)
+    "llm_hard_negatives" -> hardNegatives,
+    "llm_hard_negatives_ivf" -> hardNegativesIvf)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
@@ -269,5 +299,6 @@ object OpsSelection extends Suite {
     "llm_normalize" -> normalizeSql,
     "llm_salted_join" -> saltedJoinSql,
     "llm_snapshot_diff" -> snapshotDiffSql,
-    "llm_hard_negatives" -> hardNegativesSql)
+    "llm_hard_negatives" -> hardNegativesSql,
+    "llm_hard_negatives_ivf" -> hardNegativesIvfSql)
 }

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec {
     "llm_knn_graph" -> 2,            // exact-pair mode, both directions
     "llm_knn_density" -> 2,          // exact-pair mode, both directions
     "llm_hard_negatives" -> 2,       // exact-pair mode, both directions
+    "llm_hard_negatives_ivf" -> 2,   // the exact-mode baseline side
     "llm_lm_bigram" -> 1,            // 1-row vocab aggregate
     "llm_pipeline_curate_v2" -> 1,   // 1-row capacity aggregate (balanceMix)
     "llm_embed_quantized_topk" -> 1, // 1-row query-vector broadcast
