@@ -375,10 +375,14 @@ object Similarity {
                nlist: Int = 0, probes: Int = 3, iters: Int = 2,
                seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val undirected =
+    // persistScoped: the pair set feeds BOTH directions of the union below
+    // — without it the (quadratic in exact mode) pair generation runs
+    // twice per call, and the exact-baseline side of recall twins runs it
+    // again per consuming query
+    val undirected = Dedup.reuse(s"knng:$nlist:$probes",
       if (nlist <= 0) exactPairs(corpus, idCol, vecCol, -1.0)
       else clusterPairs(ivfIndex(corpus, idCol, vecCol, nlist, iters, seed),
-        idCol, vecCol, -1.0, probes)
+        idCol, vecCol, -1.0, probes))
     val directed = undirected.select(
         col("id_a").as("src"), col("id_b").as("dst"), col("cosine"))
       .unionAll(undirected.select(
