@@ -506,7 +506,11 @@ object Dedup {
     val sh = persistScoped(s"contain:$idCol:$textCol:$n",
       shingles(df, idCol, textCol, n))
     val sizes = shingleSizes(sh, idCol)
-    val undirected = commonCounts(sh, idCol, textCol, n, maxDocFreq)
+    // persistScoped: the intersection-count aggregation (the dominant
+    // posting self-join) feeds BOTH direction projections of the union —
+    // unpersisted it executes twice
+    val undirected = persistScoped(s"contain:pairs:$idCol:$textCol:$n",
+      commonCounts(sh, idCol, textCol, n, maxDocFreq))
     val directed = undirected
       .unionAll(undirected.select(col("id_b").as("id_a"),
         col("id_a").as("id_b"), col("common")))
