@@ -284,6 +284,68 @@ object OpsSelection extends Suite {
     """SELECT count(*) AS n_anchors, TRUE AS hard_neg_recall_ok
       |FROM embeddings""".stripMargin
 
+  // -- bucketed shuffle-free join, driver-gated: both sides written
+  //    bucketed+sorted on the join key, re-read, and joined with broadcast
+  //    disabled — the executed JOIN plan must contain ZERO Exchange nodes
+  //    (bucket files are the pre-shuffled layout; at 100 TB this is the
+  //    amortize-the-shuffle-once story writeBucketed exists for). The
+  //    result itself must equal the plain-join rollup the oracle computes.
+  //    Temp-path tables, dropped and deleted after; confs restored. ------
+  private val bucketedJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket-gate")
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      def writeBucketed(df: org.apache.spark.sql.DataFrame, name: String,
+                        key: String): Unit =
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", wh.resolve(name).toString)
+          .format("parquet").saveAsTable(name)
+      writeBucketed(t.orders.select(col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", "o_custkey")
+      writeBucketed(t.customer.select(col("c_custkey"), col("c_acctbal")),
+        "graft_bkt_customer", "c_custkey")
+      val joined = s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val shuffleFree =
+        !joined.queryExecution.executedPlan.toString.contains("Exchange")
+      // integer-exact checksum: bigint cents weighted by a key residue —
+      // immune to double-summation order at any magnitude (a raw double
+      // sum of the product diverges in the 1e13 range)
+      val r = joined.agg(count(lit(1)),
+        round(sum(col("o_totalprice")), 2),
+        sum(round(col("o_totalprice") * 100).cast("long")
+          * pmod(col("o_custkey"), lit(97)))).head
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2), shuffleFree))
+        .toDF("n_rows", "sum_price", "cents_checksum", "shuffle_free_ok")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(wh.toFile)
+    }
+  }
+  private val bucketedJoinSql =
+    """SELECT count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    * (o_custkey % 97)) AS BIGINT) AS cents_checksum,
+      |  true AS shuffle_free_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
@@ -291,7 +353,8 @@ object OpsSelection extends Suite {
     "llm_salted_join" -> saltedJoin,
     "llm_snapshot_diff" -> snapshotDiff,
     "llm_hard_negatives" -> hardNegatives,
-    "llm_hard_negatives_ivf" -> hardNegativesIvf)
+    "llm_hard_negatives_ivf" -> hardNegativesIvf,
+    "llm_bucketed_join" -> bucketedJoin)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
@@ -300,5 +363,6 @@ object OpsSelection extends Suite {
     "llm_salted_join" -> saltedJoinSql,
     "llm_snapshot_diff" -> snapshotDiffSql,
     "llm_hard_negatives" -> hardNegativesSql,
-    "llm_hard_negatives_ivf" -> hardNegativesIvfSql)
+    "llm_hard_negatives_ivf" -> hardNegativesIvfSql,
+    "llm_bucketed_join" -> bucketedJoinSql)
 }
