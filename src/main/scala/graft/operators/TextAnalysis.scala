@@ -107,4 +107,31 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(split(normalized(c), " "), lit(1469598103934665603L),
       (acc, w) => xxhash64(acc, w))
+
+  /** URL canonicalization for crawl-level dedup — the FIRST dedup pass a
+    * web corpus runs, before any content is fetched or compared: two
+    * fetches of the same canonical URL are the same document regardless
+    * of tracking params, fragment, case of scheme/host, default port, or
+    * a trailing slash. Deterministic regexp chain (codegen'd, zero
+    * shuffle):
+    *  1. drop the #fragment;
+    *  2. lowercase scheme://host (path/query stay case-sensitive);
+    *  3. strip an explicit :80/:443 default port;
+    *  4. remove utm_* / fbclid / gclid tracking parameters wherever they
+    *     sit in the query string (and a now-empty '?');
+    *  5. strip one trailing slash. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([^/]+//[^/]+)", 1)
+    val lowered = concat(lower(prefix),
+      regexp_replace(noFrag, "^[^/]+//[^/]+", ""))
+    val noPort = regexp_replace(lowered, ":(80|443)(/|$)", "$2")
+    val track = "(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, "&" + track, ""),
+        "\\?" + track + "&", "?"),
+      "\\?" + track + "$", "")
+    regexp_replace(noTrack, "/$", "")
+  }
 }

@@ -346,6 +346,57 @@ object OpsSelection extends Suite {
       |  true AS shuffle_free_ok
       |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  // -- URL canonicalization + dedup: the FIRST dedup a crawl pipeline
+  //    runs. Synthetic URLs built from the row's own columns (the PII
+  //    pattern) with planted case noise, default port, tracking params,
+  //    fragments, and trailing slashes; both engines replay the identical
+  //    regexp canonicalization chain and group by canonical URL. --------
+  private val urlDedup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val raw = concat(
+      lit("Http://WWW."), col("source"), lit(".Example.com:80/docs/"),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("?utm_source=x&utm_campaign=y"))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("?id="), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("&utm_medium=z")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("#frag"))
+        .otherwise(lit("")))
+    t.documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.canonicalizeUrl(raw).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canon_url"))
+  }
+  private val urlDedupSql =
+    """WITH u AS (SELECT doc_id,
+      |    'Http://WWW.' || source || '.Example.com:80/docs/'
+      |    || CAST(doc_id % 7 AS VARCHAR)
+      |    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&utm_campaign=y'
+      |            WHEN doc_id % 3 = 1 THEN '?id='
+      |              || CAST(doc_id % 5 AS VARCHAR) || '&utm_medium=z'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS raw
+      |  FROM documents),
+      |c0 AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS s FROM u),
+      |c1 AS (SELECT doc_id,
+      |    lower(regexp_extract(s, '^([^/]+//[^/]+)', 1))
+      |    || regexp_replace(s, '^[^/]+//[^/]+', '') AS s FROM c0),
+      |c2 AS (SELECT doc_id,
+      |    regexp_replace(s, ':(80|443)(/|$)', '\2') AS s FROM c1),
+      |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
+      |    '&(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+      |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
+      |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', '') AS s FROM c2),
+      |canon AS (SELECT doc_id, regexp_replace(s, '/$', '') AS canon_url
+      |          FROM c3)
+      |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keeper
+      |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
@@ -354,7 +405,8 @@ object OpsSelection extends Suite {
     "llm_snapshot_diff" -> snapshotDiff,
     "llm_hard_negatives" -> hardNegatives,
     "llm_hard_negatives_ivf" -> hardNegativesIvf,
-    "llm_bucketed_join" -> bucketedJoin)
+    "llm_bucketed_join" -> bucketedJoin,
+    "llm_url_dedup" -> urlDedup)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
@@ -364,5 +416,6 @@ object OpsSelection extends Suite {
     "llm_snapshot_diff" -> snapshotDiffSql,
     "llm_hard_negatives" -> hardNegativesSql,
     "llm_hard_negatives_ivf" -> hardNegativesIvfSql,
-    "llm_bucketed_join" -> bucketedJoinSql)
+    "llm_bucketed_join" -> bucketedJoinSql,
+    "llm_url_dedup" -> urlDedupSql)
 }

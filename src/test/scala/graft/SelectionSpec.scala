@@ -67,6 +67,54 @@ class SelectionSpec extends SparkSpec {
     assert(out.forall(_ == 0.0))
   }
 
+  // ---- canonicalizeUrl ---------------------------------------------------
+
+  test("canonicalizeUrl: case, port, tracking, fragment, trailing slash") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/Path/" -> "http://example.com/Path",
+      "https://a.b:443/x?utm_source=s&id=3#f" -> "https://a.b/x?id=3",
+      "http://h/p?utm_a=1&utm_b=2" -> "http://h/p",
+      "http://h/p?id=1&fbclid=xyz&q=2" -> "http://h/p?id=1&q=2",
+      "http://h/p?gclid=only" -> "http://h/p",
+      "http://CASE.host/UPPER?Q=Keep" -> "http://case.host/UPPER?Q=Keep",
+      "http://h:8080/p" -> "http://h:8080/p") // non-default port kept
+    val df = cases.map(_._1).toDF("u")
+    val got = df.select(
+        graft.operators.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("segmentDedup equals an in-memory reference on random colliding " +
+    "corpora") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("a", "b", "c")
+    (1 to 3).foreach { _ =>
+      val docs = (0 until 40).map(i => (i.toLong,
+        Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(3))).mkString(" ")))
+      val segW = 2
+      // reference: global (doc, seg) order, first occurrence of each
+      // segment text survives
+      val segs = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(segW).zipWithIndex
+          .map { case (w, ix) => (id, ix.toLong, w.mkString(" ")) } }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val keptSet = segs.sortBy(s => (s._1, s._2))
+        .filter(s => seen.add(s._3)).map(s => (s._1, s._2)).toSet
+      val expected = segs.groupBy(_._1).map { case (id, ss) =>
+        val kept = ss.filter(s => keptSet((s._1, s._2)))
+        (id, (ss.size.toLong, (ss.size - kept.size).toLong,
+          kept.sortBy(_._2).map(_._3).mkString(" ")))
+      }
+      val got = graft.operators.Dedup.segmentDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", segW)
+        .select("doc_id", "n_seg", "n_dup", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => (r._1, (r._2, r._3, r._4))).toMap
+      assert(got == expected)
+    }
+  }
+
   // ---- DSIR --------------------------------------------------------------
 
   test("hashedGramBuckets emits 2n-1 grams per doc, all within range") {
