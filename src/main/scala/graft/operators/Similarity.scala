@@ -439,6 +439,53 @@ object Similarity {
         sum(when(!same, lit(1L)).otherwise(lit(0L))).as("n_neg"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix parallel-corpus criterion): for every left-side
+    * document, the best right-side candidate scored by RATIO MARGIN —
+    * the raw cosine normalized by the mean cosine of each side's k
+    * nearest cross-side neighbors. Absolute cosine thresholds fail under
+    * hubness (some vectors sit close to everything); the margin cancels
+    * it. Emits one row per left document: its best pair, the margin, and
+    * a mutuality flag (the pair is also the right row's best — the
+    * high-precision mining setting).
+    *
+    * Validation mode: exact cross cosine (quadratic) — at corpus scale
+    * candidates come from the IVF probes path exactly as clusterPairs
+    * blocks semantic dedup. The pair and margin relations persist scoped
+    * (each feeds two GroupedTopK consumers). Determinism: neighbor means
+    * and margins round to 6 BEFORE ranking, id tiebreaks throughout. */
+  def bitextMine(left: DataFrame, right: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val l = left.select(col(idCol).as("src"), col(vecCol).as("__vl"))
+    val r = right.select(col(idCol).as("dst"), col(vecCol).as("__vr"))
+    val pairs = Dedup.reuse(s"bitext:pairs:$k",
+      l.crossJoin(r).select(col("src"), col("dst"),
+        fastCosine(left)(col("__vl"), col("__vr")).as("__c")))
+    val nnL = graft.plans.GroupedTopK(pairs, Seq("src"),
+        Seq(col("__c").desc, col("dst").asc), k)
+      .groupBy(col("src")).agg(round(avg(col("__c")), 6).as("__al"))
+    val nnR = graft.plans.GroupedTopK(pairs, Seq("dst"),
+        Seq(col("__c").desc, col("src").asc), k)
+      .groupBy(col("dst")).agg(round(avg(col("__c")), 6).as("__ar"))
+    val scored = Dedup.reuse(s"bitext:margin:$k",
+      pairs.join(nnL, Seq("src")).join(nnR, Seq("dst"))
+        .select(col("src"), col("dst"),
+          round(col("__c") * 2 / (col("__al") + col("__ar")), 6)
+            .as("margin")))
+    val bestL = graft.plans.GroupedTopK(scored, Seq("src"),
+      Seq(col("margin").desc, col("dst").asc), 1)
+    val bestR = graft.plans.GroupedTopK(scored, Seq("dst"),
+        Seq(col("margin").desc, col("src").asc), 1)
+      .select(col("src").as("__rs"), col("dst").as("__rd"),
+        lit(1).as("__mut"))
+    bestL.join(bestR,
+        bestL("src") === col("__rs") && bestL("dst") === col("__rd"),
+        "left")
+      .select(bestL("src"), bestL("dst"), col("margin"),
+        coalesce(col("__mut"), lit(0)).cast("boolean").as("mutual"))
+  }
+
   /** Per-label centroid diagnostics over a labeled embedding corpus: for
     * each label, the member count, the centroid's L2 norm, and the
     * mean/min cosine of members to their OWN label centroid ("purity") —

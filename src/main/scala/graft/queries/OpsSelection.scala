@@ -397,6 +397,50 @@ object OpsSelection extends Suite {
       |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keeper
       |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
+  // -- margin-based bitext mining (Artetxe & Schwenk 2019): the embedding
+  //    corpus split by label parity stands in for two languages; per
+  //    left-side doc the best cross-side candidate under the ratio margin
+  //    (hubness-cancelling), with the mutual-best flag. Exact mode at
+  //    gate SF; the oracle replays the identical margins and ranks. -----
+  private val bitextMine: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val a = t.embeddings.filter(pmod(col("label"), lit(2)) === 0)
+    val b = t.embeddings.filter(pmod(col("label"), lit(2)) === 1)
+    graft.operators.Similarity.bitextMine(a, b, "vec_id", "embedding",
+        k = 4)
+      .orderBy(col("src"))
+  }
+  private val bitextMineSql =
+    """WITH a AS (SELECT vec_id, embedding FROM embeddings
+      |           WHERE label % 2 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+      |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+      |                               a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+      |                                 b.embedding::DOUBLE[]))) AS c
+      |  FROM a, b),
+      |kl AS (SELECT src, round(avg(c), 6) AS al FROM (
+      |    SELECT src, c, row_number() OVER (PARTITION BY src
+      |      ORDER BY c DESC, dst) AS rn FROM p) WHERE rn <= 4
+      |  GROUP BY src),
+      |kr AS (SELECT dst, round(avg(c), 6) AS ar FROM (
+      |    SELECT dst, c, row_number() OVER (PARTITION BY dst
+      |      ORDER BY c DESC, src) AS rn FROM p) WHERE rn <= 4
+      |  GROUP BY dst),
+      |m AS (SELECT src, dst, round(c * 2 / (al + ar), 6) AS margin
+      |      FROM p JOIN kl USING (src) JOIN kr USING (dst)),
+      |bl AS (SELECT src, dst, margin, row_number() OVER (PARTITION BY src
+      |         ORDER BY margin DESC, dst) AS rn FROM m),
+      |br AS (SELECT src, dst, row_number() OVER (PARTITION BY dst
+      |         ORDER BY margin DESC, src) AS rn FROM m)
+      |SELECT bl.src, bl.dst, bl.margin,
+      |  (br.src IS NOT NULL) AS mutual
+      |FROM bl LEFT JOIN (SELECT src, dst FROM br WHERE rn = 1) br
+      |  ON bl.src = br.src AND bl.dst = br.dst
+      |WHERE bl.rn = 1 ORDER BY bl.src""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
@@ -406,7 +450,8 @@ object OpsSelection extends Suite {
     "llm_hard_negatives" -> hardNegatives,
     "llm_hard_negatives_ivf" -> hardNegativesIvf,
     "llm_bucketed_join" -> bucketedJoin,
-    "llm_url_dedup" -> urlDedup)
+    "llm_url_dedup" -> urlDedup,
+    "llm_bitext_mine" -> bitextMine)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
@@ -417,5 +462,6 @@ object OpsSelection extends Suite {
     "llm_hard_negatives" -> hardNegativesSql,
     "llm_hard_negatives_ivf" -> hardNegativesIvfSql,
     "llm_bucketed_join" -> bucketedJoinSql,
-    "llm_url_dedup" -> urlDedupSql)
+    "llm_url_dedup" -> urlDedupSql,
+    "llm_bitext_mine" -> bitextMineSql)
 }

@@ -36,6 +36,12 @@ class PlanGuardSpec extends SparkSpec {
     "llm_knn_density" -> 2,          // exact-pair mode, both directions
     "llm_hard_negatives" -> 2,       // exact-pair mode, both directions
     "llm_hard_negatives_ivf" -> 2,   // the exact-mode baseline side
+    "llm_bitext_mine" -> 6,          // exact-mode cross cosine (validation
+                                     // baseline); the persisted pair and
+                                     // margin relations render the single
+                                     // cross under their 2+2 GroupedTopK
+                                     // consumers plus the mutual join (one
+                                     // execution, cached)
     "llm_lm_bigram" -> 1,            // 1-row vocab aggregate
     "llm_pipeline_curate_v2" -> 1,   // 1-row capacity aggregate (balanceMix)
     "llm_embed_quantized_topk" -> 1, // 1-row query-vector broadcast

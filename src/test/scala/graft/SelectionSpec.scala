@@ -185,6 +185,27 @@ class SelectionSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(4) == 0L))
   }
 
+  // ---- bitextMine --------------------------------------------------------
+
+  test("bitextMine: planted translation pair is mutual-best with the " +
+    "highest margin") {
+    // left 1 and right 101 are near-identical; everything else is spread
+    val left = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.3f)),
+      (3L, Array(0.3f, 0.1f, 1.0f))).toDF("vec_id", "embedding")
+    val right = Seq(
+      (101L, Array(1.0f, 0.0f, 0.02f)), (102L, Array(0.1f, 0.9f, 0.5f)),
+      (103L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.bitextMine(
+        left, right, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 == 101L && out(1L)._3,
+      s"planted pair must be mutual-best: $out")
+    assert(out(1L)._2 >= out(2L)._2 && out(1L)._2 >= out(3L)._2,
+      s"planted pair must carry the top margin: $out")
+  }
+
   // ---- snapshotDiff ------------------------------------------------------
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
