@@ -371,6 +371,52 @@ object Curation {
         sum(col("tf")).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 formulation) — the fluency signal add-α smoothing
+    * cannot give: the backoff mass goes to CONTINUATION probability (how
+    * many distinct contexts a word follows), so function words stop
+    * drowning out genuinely predictive bigrams.
+    *   P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·)
+    *            + d·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    * with discount d = 0.75 (exactly representable in binary, so both
+    * engines compute bit-identical discounted numerators; every other
+    * input is an exact integer count). Per-doc tf-weighted avg ln P.
+    *
+    * Scale design: same shape as [[bigramLogProb]] — corpus collapses to
+    * the bigram-type table; context/continuation statistics are two more
+    * vocabulary-scale aggregations of it; the single corpus-scale join is
+    * tf-aggregated per doc first (never per occurrence). */
+  def bigramKneserNey(df: DataFrame, idCol: String, textCol: String,
+                      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount d=$d must be in (0,1)")
+    val toks = df.select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("i", "w")))
+      .filter(col("w").isNotNull)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+    val biTf = bi.groupBy(col(idCol), col("w"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val biCnt = bi.groupBy(col("w"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx = biCnt.groupBy(col("w"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nf"))
+    val cont = biCnt.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val types = biCnt.agg(count(lit(1)).as("b"))
+    biTf.join(biCnt, Seq("w", "w2"))
+      .join(ctx, Seq("w"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lp", log(
+        greatest(col("cb") - lit(d), lit(0.0)) / col("cw")
+          + lit(d) * col("nf") / col("cw") * (col("np") / col("b"))))
+      .groupBy(col(idCol))
+      .agg((sum(col("tf") * col("lp")) / sum(col("tf"))).as("avg_logprob"),
+        sum(col("tf")).as("n_bigrams"))
+  }
+
   // ---- domain-mixture balancing ------------------------------------------
 
   /** Rebalance a corpus to target group proportions ("data mixing"): given

@@ -441,6 +441,39 @@ object OpsSelection extends Suite {
       |  ON bl.src = br.src AND bl.dst = br.dst
       |WHERE bl.rn = 1 ORDER BY bl.src""".stripMargin
 
+  // -- Kneser–Ney bigram fluency: backoff mass to continuation counts —
+  //    all inputs exact integers + the binary-exact 0.75 discount, so the
+  //    per-pair probability is bit-identical across engines; round(6)
+  //    absorbs ln and the tf-weighted summation order. -------------------
+  private val lmKneserNey: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.bigramKneserNey(t.documents, "doc_id", "text")
+      .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
+        col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+  private val lmKneserNeySql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |bi AS (SELECT doc_id, tk[i] AS w, tk[i + 1] AS w2
+      |       FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      |       WHERE len(tk) >= 2),
+      |bt AS (SELECT doc_id, w, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+      |bc AS (SELECT w, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |ctx AS (SELECT w, CAST(sum(cb) AS BIGINT) AS cw, count(*) AS nf
+      |        FROM bc GROUP BY w),
+      |cont AS (SELECT w2, count(*) AS np FROM bc GROUP BY w2),
+      |ty AS (SELECT count(*) AS b FROM bc),
+      |sc AS (SELECT bt.doc_id, bt.tf,
+      |    ln(greatest(cb - 0.75, 0) / cw
+      |       + 0.75 * nf / cw * (np / CAST(b AS DOUBLE))) AS lp
+      |  FROM bt JOIN bc USING (w, w2) JOIN ctx USING (w)
+      |  JOIN cont USING (w2) CROSS JOIN ty)
+      |SELECT doc_id, round(sum(tf * lp) / sum(tf), 6) AS avg_logprob,
+      |  CAST(sum(tf) AS BIGINT) AS n_bigrams
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
@@ -451,7 +484,8 @@ object OpsSelection extends Suite {
     "llm_hard_negatives_ivf" -> hardNegativesIvf,
     "llm_bucketed_join" -> bucketedJoin,
     "llm_url_dedup" -> urlDedup,
-    "llm_bitext_mine" -> bitextMine)
+    "llm_bitext_mine" -> bitextMine,
+    "llm_lm_kneser_ney" -> lmKneserNey)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
@@ -463,5 +497,6 @@ object OpsSelection extends Suite {
     "llm_hard_negatives_ivf" -> hardNegativesIvfSql,
     "llm_bucketed_join" -> bucketedJoinSql,
     "llm_url_dedup" -> urlDedupSql,
-    "llm_bitext_mine" -> bitextMineSql)
+    "llm_bitext_mine" -> bitextMineSql,
+    "llm_lm_kneser_ney" -> lmKneserNeySql)
 }

@@ -43,6 +43,7 @@ class PlanGuardSpec extends SparkSpec {
                                      // consumers plus the mutual join (one
                                      // execution, cached)
     "llm_lm_bigram" -> 1,            // 1-row vocab aggregate
+    "llm_lm_kneser_ney" -> 1,        // 1-row bigram-type-count aggregate
     "llm_pipeline_curate_v2" -> 1,   // 1-row capacity aggregate (balanceMix)
     "llm_embed_quantized_topk" -> 1, // 1-row query-vector broadcast
     "llm_embed_topk" -> 1,           // 1-row query-vector broadcast

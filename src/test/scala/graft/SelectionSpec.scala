@@ -185,6 +185,21 @@ class SelectionSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(4) == 0L))
   }
 
+  // ---- Kneser–Ney --------------------------------------------------------
+
+  test("bigramKneserNey matches the hand-computed value on a tiny corpus") {
+    // "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; ctx a:(cw=3,nf=2)
+    // b:(cw=2,nf=1); cont a/b/c each np=1; B=3
+    // P(b|a)=1.25/3+0.75*2/3*(1/3)=0.583333…; P(a|b)=0.625+0.125=0.75;
+    // P(c|a)=0.25/3+0.75*2/3*(1/3)=0.25
+    // avg = (2·ln0.58333+2·ln0.75+ln0.25)/5 = -0.607930…
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = graft.operators.Curation.bigramKneserNey(df, "doc_id", "text")
+      .select("avg_logprob", "n_bigrams").as[(Double, Long)].head()
+    assert(r._2 == 5L)
+    assert(math.abs(r._1 - (-0.6079304)) < 1e-6, s"got ${r._1}")
+  }
+
   // ---- bitextMine --------------------------------------------------------
 
   test("bitextMine: planted translation pair is mutual-best with the " +
