@@ -60,7 +60,8 @@ object Bench {
       "llm_dsir_select", "llm_dedup_lines", "llm_normalize",
       "llm_salted_join", "llm_snapshot_diff", "llm_hard_negatives",
       "llm_hard_negatives_ivf", "llm_bucketed_join",
-      "llm_url_dedup", "llm_bitext_mine", "llm_lm_kneser_ney")
+      "llm_url_dedup", "llm_bitext_mine", "llm_lm_kneser_ney",
+      "llm_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

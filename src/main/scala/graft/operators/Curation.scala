@@ -417,6 +417,49 @@ object Curation {
         sum(col("tf")).as("n_bigrams"))
   }
 
+  // ---- model-based quality filtering -------------------------------------
+
+  /** Logistic quality score over handcrafted features with FIXED weights —
+    * the scoring half of model-based filtering (FineWeb/DCLM-style
+    * classifier filtering, distilled to a linear model over the same
+    * feature battery the rule filters use). Pure column expression:
+    * z folds left-to-right (bias + Σ wᵢ·fᵢ, the same association order an
+    * oracle states), σ(z) = 1/(1+e^(−z)). */
+  def logisticScore(features: Seq[Column], weights: Seq[Double],
+                    bias: Double): Column = {
+    require(features.size == weights.size,
+      s"${features.size} features vs ${weights.size} weights")
+    val z = features.zip(weights).foldLeft(lit(bias): Column) {
+      case (acc, (f, w)) => acc + f * lit(w)
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Distributed batch-gradient training for the logistic quality
+    * classifier: full-batch gradient descent, each iteration ONE
+    * map-side-combined aggregation pass (Σ (σ(z)−y)·fᵢ per feature plus
+    * the bias term); the driver holds only the weight vector — the same
+    * bounded-driver-state contract as the k-means trainer. Deterministic:
+    * zero init, fixed iteration count and rate, no sampling. Returns
+    * (weights, bias). */
+  def logisticTrain(df: DataFrame, featCols: Seq[String], labelCol: String,
+                    iters: Int = 20, lr: Double = 1.0): (Seq[Double], Double) = {
+    require(iters > 0 && lr > 0, s"need iters>0, lr>0; got $iters/$lr")
+    var w = Seq.fill(featCols.size)(0.0)
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      val p = logisticScore(featCols.map(col), w, b)
+      val err = p - col(labelCol).cast("double")
+      val aggs = featCols.map(c => sum(err * col(c))) ++
+        Seq(sum(err), count(lit(1)))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(featCols.size + 1).toDouble
+      w = w.zipWithIndex.map { case (wi, i) => wi - lr * r.getDouble(i) / n }
+      b = b - lr * r.getDouble(featCols.size) / n
+    }
+    (w, b)
+  }
+
   // ---- domain-mixture balancing ------------------------------------------
 
   /** Rebalance a corpus to target group proportions ("data mixing"): given

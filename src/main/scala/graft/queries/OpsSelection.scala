@@ -474,6 +474,42 @@ object OpsSelection extends Suite {
       |  CAST(sum(tf) AS BIGINT) AS n_bigrams
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- model-based quality filtering, scoring half: logistic score with
+  //    FIXED literal weights over three cheap features (length, token
+  //    count, distinct-token ratio). z folds left-to-right identically on
+  //    both engines; round(6) then the keep threshold compares the
+  //    ROUNDED score. The trainer half (distributed batch gradient, one
+  //    aggregation pass per iteration) is spec-gated on separable data. --
+  private val qualityClassifier: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val toks = split(trim(col("text")), "\\s+")
+    val toksL = split(lower(trim(col("text"))), "\\s+")
+    val feats = Seq(
+      col("n_chars") / lit(1000.0),
+      size(toks) / lit(100.0),
+      size(array_distinct(toksL)) / size(toksL))
+    val q = round(Curation.logisticScore(feats,
+      Seq(0.8, -0.5, 2.0), bias = -1.0), 6)
+    t.documents.select(col("doc_id"), q.as("quality_p"),
+        (q >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val qualityClassifierSql =
+    """WITH f AS (SELECT doc_id,
+      |    n_chars / 1000.0 AS f1,
+      |    len(string_split_regex(trim(text), '\s+')) / 100.0 AS f2,
+      |    len(list_distinct(string_split_regex(lower(trim(text)),
+      |      '\s+')))
+      |      / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+      |        AS DOUBLE) AS f3
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-(-1.0 + f1 * 0.8 + f2 * -0.5
+      |      + f3 * 2.0))), 6) AS quality_p
+      |  FROM f)
+      |SELECT doc_id, quality_p, quality_p >= 0.5 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
@@ -485,7 +521,8 @@ object OpsSelection extends Suite {
     "llm_bucketed_join" -> bucketedJoin,
     "llm_url_dedup" -> urlDedup,
     "llm_bitext_mine" -> bitextMine,
-    "llm_lm_kneser_ney" -> lmKneserNey)
+    "llm_lm_kneser_ney" -> lmKneserNey,
+    "llm_quality_classifier" -> qualityClassifier)
 
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
@@ -498,5 +535,6 @@ object OpsSelection extends Suite {
     "llm_bucketed_join" -> bucketedJoinSql,
     "llm_url_dedup" -> urlDedupSql,
     "llm_bitext_mine" -> bitextMineSql,
-    "llm_lm_kneser_ney" -> lmKneserNeySql)
+    "llm_lm_kneser_ney" -> lmKneserNeySql,
+    "llm_quality_classifier" -> qualityClassifierSql)
 }
