@@ -144,20 +144,28 @@ object Bench {
     // 3-decimal seconds, and the passes map collapsed to a single int when
     // uniform (it always is unless a query failed). Full-fidelity results go
     // to target/bench_full.json for local diagnosis.
-    def s3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale — a
+    // comma-decimal locale would emit invalid JSON on the contract line
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val passVals = results.map(_._2._2).distinct
-    val ps =
-      if (passVals.size == 1) passVals.head.toString
-      else results.map { case (k, (_, p)) => "\"" + k + "\":" + p }
+    // stable shape: "passes" is ALWAYS the single int (the minimum), with
+    // the per-query map added only when counts diverge — parsers written
+    // against the common case keep working on the runs that matter most
+    val passVals = results.map(_._2._2)
+    val ps = if (passVals.isEmpty) "0" else passVals.min.toString
+    val psByQuery =
+      if (passVals.distinct.size <= 1) ""
+      else ",\"passes_by_query\":" + results
+        .map { case (k, (_, p)) => "\"" + k + "\":" + p }
         .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val sentinelLast = math.min(sentinelPass(), sentinelPass())
     val contended =
       sentinelLast > 2.0 * sentinelFirst || sentinelFirst > 2.0 * sentinelLast
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps$psByQuery,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"sf":"$sfDir"}"""
     val full = results.map { case (k, (v, p)) =>
       "\"" + k + "\":{\"sec\":" + v + ",\"passes\":" + p + "}"
     }.mkString("{", ",", "}")

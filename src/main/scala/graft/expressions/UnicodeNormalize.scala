@@ -24,7 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, formName: String)
     extends UnaryExpression {
 
-  // resolved eagerly: an invalid form fails at plan time, not mid-job
+  // validated at CONSTRUCTION (plan time, not mid-job) — and since the
+  // name is spliced into generated Java below, membership in the enum is
+  // also the codegen-injection guard
+  require(Normalizer.Form.values.exists(_.name == formName),
+    s"${UnicodeNormalize.name}: unknown form '$formName' " +
+      s"(expected one of ${Normalizer.Form.values.mkString(", ")})")
   @transient private lazy val form = Normalizer.Form.valueOf(formName)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

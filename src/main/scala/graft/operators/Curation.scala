@@ -344,9 +344,12 @@ object Curation {
     * sequence). Documents with fewer than 2 tokens produce no row. Same
     * scale shape: per-doc bigram frequencies aggregate before joining the
     * corpus bigram/unigram tables. */
-  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
-                    alpha: Double = 1.0): DataFrame = {
-    require(alpha > 0, s"alpha=$alpha must be positive")
+  /** Shared bigram scaffolding for the bigram scorers: one tokenize +
+    * per-doc lead pass; returns (tokens, per-doc bigram tf, corpus bigram
+    * counts). Corpus counts DERIVE from the per-doc table — no second
+    * window pass over the corpus. */
+  private def bigramCounts(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = df.select(col(idCol),
         posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
           .as(Seq("i", "w")))
@@ -357,8 +360,15 @@ object Curation {
       .filter(col("w2").isNotNull)
     val biTf = bi.groupBy(col(idCol), col("w"), col("w2"))
       .agg(count(lit(1)).as("tf"))
-    val biCnt = bi.groupBy(col("w"), col("w2"))
-      .agg(count(lit(1)).as("cb"))
+    val biCnt = biTf.groupBy(col("w"), col("w2"))
+      .agg(sum(col("tf")).as("cb"))
+    (toks, biTf, biCnt)
+  }
+
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val (toks, biTf, biCnt) = bigramCounts(df, idCol, textCol)
     val uniCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val vocab = uniCnt.agg(count(lit(1)).as("v"))
     biTf.join(biCnt, Seq("w", "w2"))
@@ -389,18 +399,7 @@ object Curation {
   def bigramKneserNey(df: DataFrame, idCol: String, textCol: String,
                       d: Double = 0.75): DataFrame = {
     require(d > 0 && d < 1, s"discount d=$d must be in (0,1)")
-    val toks = df.select(col(idCol),
-        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
-          .as(Seq("i", "w")))
-      .filter(col("w").isNotNull)
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    val bi = toks
-      .withColumn("w2", lead(col("w"), 1).over(byPos))
-      .filter(col("w2").isNotNull)
-    val biTf = bi.groupBy(col(idCol), col("w"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
-    val biCnt = bi.groupBy(col("w"), col("w2"))
-      .agg(count(lit(1)).as("cb"))
+    val (_, biTf, biCnt) = bigramCounts(df, idCol, textCol)
     val ctx = biCnt.groupBy(col("w"))
       .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nf"))
     val cont = biCnt.groupBy(col("w2")).agg(count(lit(1)).as("np"))

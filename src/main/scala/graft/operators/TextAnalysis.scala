@@ -122,14 +122,19 @@ object TextAnalysis {
     *  5. strip one trailing slash. */
   def canonicalizeUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
-    val prefix = regexp_extract(noFrag, "^([^/]+//[^/]+)", 1)
-    val lowered = concat(lower(prefix),
-      regexp_replace(noFrag, "^[^/]+//[^/]+", ""))
-    val noPort = regexp_replace(lowered, ":(80|443)(/|$)", "$2")
+    // authority = scheme://host[:port], terminated by '/', '?' or end —
+    // the [^/?#] classes keep a path-less URL's query string out of the
+    // authority (and therefore out of the lowercasing), and anchoring the
+    // port strip to the END of the authority keeps ':80'/':443' inside
+    // path or query values untouched
+    val auth = regexp_extract(noFrag, "^([^/?#]+//[^/?#]*)", 1)
+    val rest = regexp_replace(noFrag, "^[^/?#]+//[^/?#]*", "")
+    val joined = concat(
+      regexp_replace(lower(auth), ":(80|443)$", ""), rest)
     val track = "(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
     val noTrack = regexp_replace(
       regexp_replace(
-        regexp_replace(noPort, "&" + track, ""),
+        regexp_replace(joined, "&" + track, ""),
         "\\?" + track + "&", "?"),
       "\\?" + track + "$", "")
     regexp_replace(noTrack, "/$", "")

@@ -383,11 +383,10 @@ object OpsSelection extends Suite {
       |    || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS raw
       |  FROM documents),
       |c0 AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS s FROM u),
-      |c1 AS (SELECT doc_id,
-      |    lower(regexp_extract(s, '^([^/]+//[^/]+)', 1))
-      |    || regexp_replace(s, '^[^/]+//[^/]+', '') AS s FROM c0),
       |c2 AS (SELECT doc_id,
-      |    regexp_replace(s, ':(80|443)(/|$)', '\2') AS s FROM c1),
+      |    regexp_replace(lower(regexp_extract(s,
+      |      '^([^/?#]+//[^/?#]*)', 1)), ':(80|443)$', '')
+      |    || regexp_replace(s, '^[^/?#]+//[^/?#]*', '') AS s FROM c0),
       |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
       |    '&(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
       |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),

@@ -127,6 +127,55 @@ object StreamOps {
   /** Bloom shard state: fixed-size bitset + accepted-insert count. */
   case class BloomShard(bits: Array[Byte], n: Long)
 
+  /** Shared Bloom sieve core used by [[bloomDedup]] and
+    * [[segmentBloomDedup]]: test-and-set each row's 64-bit fingerprint
+    * against the shard's bitset IN THE GIVEN ORDER, keep definitely-new
+    * rows, update the group state. Positions come from Kirsch–Mitzenmacher
+    * double hashing over two independent murmur3-finalizer mixes — every
+    * output bit depends on every fingerprint bit, so keys agreeing in
+    * fp's low bits do not alias (positions are taken mod mBits). */
+  private def bloomSieve[T](rows: IndexedSeq[T],
+                            state: GroupState[BloomShard],
+                            mBits: Int, kHashes: Int)
+                           (fp: T => Long): Iterator[T] = {
+    val st = state.getOption.getOrElse(
+      BloomShard(new Array[Byte](mBits / 8), 0L))
+    val bits = st.bits.clone()
+    var n = st.n
+    val out = scala.collection.mutable.ListBuffer.empty[T]
+    val pos = new Array[Int](kHashes)
+    def fmix64(x0: Long): Long = {
+      var x = x0 ^ (x0 >>> 33)
+      x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      x *= 0xC4CEB9FE1A85EC53L; x ^ (x >>> 33)
+    }
+    rows.foreach { r =>
+      val f = fp(r)
+      val h1 = fmix64(f)
+      val h2 = fmix64(f ^ 0x9E3779B97F4A7C15L) | 1L
+      var seen = true
+      var i = 0
+      while (i < kHashes) {
+        val p = (((h1 + i * h2) % mBits + mBits) % mBits).toInt
+        pos(i) = p
+        if ((bits(p >> 3) & (1 << (p & 7))) == 0) seen = false
+        i += 1
+      }
+      if (!seen) {
+        i = 0
+        while (i < kHashes) {
+          val p = pos(i)
+          bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+          i += 1
+        }
+        n += 1
+        out += r
+      }
+    }
+    state.update(BloomShard(bits, n))
+    out.iterator
+  }
+
   /** Streaming dedup with BOUNDED state — the streaming twin of the batch
     * Bloom-prefiltered incremental dedup (Dedup.bloomIncremental), and the
     * 100 TB answer to `dropDuplicates`' unbounded key-set state: total
@@ -152,48 +201,8 @@ object StreamOps {
       .flatMapGroupsWithState[BloomShard, BEv](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[BEv], state: GroupState[BloomShard]) =>
-          val st = state.getOption.getOrElse(
-            BloomShard(new Array[Byte](mBits / 8), 0L))
-          val bits = st.bits.clone()
-          var n = st.n
-          val evs = it.toIndexedSeq.sortBy(e => (usOf(e.ts), e.event_id))
-          val out = scala.collection.mutable.ListBuffer.empty[BEv]
-          val pos = new Array[Int](kHashes)
-          // murmur3 finalizer: every output bit depends on every input bit
-          // — positions are taken mod mBits (low bits), so WITHOUT this a
-          // pair of keys agreeing in fp's low 16 bits would share all k
-          // positions and alias deterministically
-          def fmix64(x0: Long): Long = {
-            var x = x0 ^ (x0 >>> 33)
-            x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-            x *= 0xC4CEB9FE1A85EC53L; x ^ (x >>> 33)
-          }
-          evs.foreach { e =>
-            // Kirsch–Mitzenmacher double hashing: k positions from two
-            // independent full-width mixes of the 64-bit fingerprint
-            val h1 = fmix64(e.fp)
-            val h2 = fmix64(e.fp ^ 0x9E3779B97F4A7C15L) | 1L
-            var seen = true
-            var i = 0
-            while (i < kHashes) {
-              val p = (((h1 + i * h2) % mBits + mBits) % mBits).toInt
-              pos(i) = p
-              if ((bits(p >> 3) & (1 << (p & 7))) == 0) seen = false
-              i += 1
-            }
-            if (!seen) {
-              i = 0
-              while (i < kHashes) {
-                val p = pos(i)
-                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
-                i += 1
-              }
-              n += 1
-              out += e
-            }
-          }
-          state.update(BloomShard(bits, n))
-          out.iterator
+          bloomSieve(it.toIndexedSeq.sortBy(e => (usOf(e.ts), e.event_id)),
+            state, mBits, kHashes)(_.fp)
       }
   }
 
@@ -234,42 +243,8 @@ object StreamOps {
       .flatMapGroupsWithState[BloomShard, SegRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[SegRow], state: GroupState[BloomShard]) =>
-          val st = state.getOption.getOrElse(
-            BloomShard(new Array[Byte](mBits / 8), 0L))
-          val bits = st.bits.clone()
-          var n = st.n
-          val rows = it.toIndexedSeq.sortBy(r => (r.doc_id, r.chunk_ix))
-          val out = scala.collection.mutable.ListBuffer.empty[SegRow]
-          val pos = new Array[Int](kHashes)
-          def fmix64(x0: Long): Long = {
-            var x = x0 ^ (x0 >>> 33)
-            x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-            x *= 0xC4CEB9FE1A85EC53L; x ^ (x >>> 33)
-          }
-          rows.foreach { r =>
-            val h1 = fmix64(r.fp)
-            val h2 = fmix64(r.fp ^ 0x9E3779B97F4A7C15L) | 1L
-            var seen = true
-            var i = 0
-            while (i < kHashes) {
-              val p = (((h1 + i * h2) % mBits + mBits) % mBits).toInt
-              pos(i) = p
-              if ((bits(p >> 3) & (1 << (p & 7))) == 0) seen = false
-              i += 1
-            }
-            if (!seen) {
-              i = 0
-              while (i < kHashes) {
-                val p = pos(i)
-                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
-                i += 1
-              }
-              n += 1
-              out += r
-            }
-          }
-          state.update(BloomShard(bits, n))
-          out.iterator
+          bloomSieve(it.toIndexedSeq.sortBy(r => (r.doc_id, r.chunk_ix)),
+            state, mBits, kHashes)(_.fp)
       }
   }
 

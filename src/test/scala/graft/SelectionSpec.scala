@@ -77,7 +77,11 @@ class SelectionSpec extends SparkSpec {
       "http://h/p?id=1&fbclid=xyz&q=2" -> "http://h/p?id=1&q=2",
       "http://h/p?gclid=only" -> "http://h/p",
       "http://CASE.host/UPPER?Q=Keep" -> "http://case.host/UPPER?Q=Keep",
-      "http://h:8080/p" -> "http://h:8080/p") // non-default port kept
+      "http://h:8080/p" -> "http://h:8080/p", // non-default port kept
+      // path-less URL: query stays OUT of the lowercased authority
+      "http://Host.com?Token=AbC" -> "http://host.com?Token=AbC",
+      // ':443' inside a query VALUE is content, not a port
+      "http://h/redir?to=https://x:443/y" -> "http://h/redir?to=https://x:443/y")
     val df = cases.map(_._1).toDF("u")
     val got = df.select(
         graft.operators.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
