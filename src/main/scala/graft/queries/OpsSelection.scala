@@ -6,10 +6,14 @@ import graft.expressions.UnicodeNormalize
 import org.apache.spark.sql.functions._
 
 /** Round-6 curation additions: DSIR importance resampling, CCNet-style
-  * corpus-wide segment dedup, Unicode normalization, the skew-salted join,
-  * and corpus snapshot diffing. Every query has an exact DuckDB oracle —
-  * determinism (md5 buckets/fingerprints, rounded transcendentals,
-  * construction-arithmetic inputs) is part of each operator's design.
+  * corpus-wide segment dedup, Unicode normalization, the skew-salted
+  * join, corpus snapshot diffing, hard-negative mining (exact + IVF
+  * recall gate), the bucketed shuffle-free join gate, URL
+  * canonicalization dedup, margin-based bitext mining, Kneser–Ney bigram
+  * fluency, and the logistic quality classifier. Every query has an
+  * exact DuckDB oracle — determinism (md5 buckets/fingerprints, rounded
+  * transcendentals, construction-arithmetic inputs) is part of each
+  * operator's design.
   */
 object OpsSelection extends Suite {
 
