@@ -61,7 +61,12 @@ object Bench {
       "llm_salted_join", "llm_snapshot_diff", "llm_hard_negatives",
       "llm_hard_negatives_ivf", "llm_bucketed_join",
       "llm_url_dedup", "llm_bitext_mine", "llm_lm_kneser_ney",
-      "llm_quality_classifier")
+      "llm_quality_classifier",
+      // round-6 web suite: link-graph analytics, WET extraction, domain
+      // capping, interval-overlap join
+      "llm_pagerank", "llm_link_stats", "llm_domain_cap",
+      "llm_html_extract", "op_interval_join", "llm_collocations",
+      "llm_keywords", "llm_pack_bestfit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

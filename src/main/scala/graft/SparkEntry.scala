@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def suites: Seq[Suite] = Seq(
     Tpch, OpsRelational, OpsScalar, OpsExtensibility, OpsLlm, OpsEvents,
-    OpsSql, OpsTemporal, OpsCuration, OpsImage, OpsSelection)
+    OpsSql, OpsTemporal, OpsCuration, OpsImage, OpsSelection, OpsWeb)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship example (reference

@@ -459,6 +459,70 @@ object Curation {
     (w, b)
   }
 
+  /** Corpus collocations by pointwise mutual information — phrase mining
+    * for vocabulary/tokenizer design and boilerplate discovery (a bigram
+    * whose PMI is high is a unit; one that merely rides frequent unigrams
+    * is not):
+    *
+    *   pmi(w1,w2) = ln[ (c12/B) / ((c1/T)·(c2/T)) ]
+    *
+    * with c12 the bigram count over the corpus stream, c1/c2 unigram
+    * occurrence counts, B/T the bigram/token totals. `minCount` suppresses
+    * the sparse-count PMI explosion (a hapax pair maximizes raw PMI).
+    *
+    * Scale: the corpus collapses to the bigram-type and vocabulary tables
+    * (the [[bigramLogProb]] shape); totals are two broadcast 1-row
+    * aggregates; the final top-k is a TakeOrderedAndProject. Emitted PMI
+    * is round(6) and the ordering uses the ROUNDED value with a (w1, w2)
+    * tie-break, so the selected set is engine-portable. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount / k=$k")
+    val (toks, _, biCnt) = bigramCounts(df, idCol, textCol)
+    val uni = Dedup.reuse(s"colloc:uni:$idCol:$textCol",
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val totT = uni.agg(sum(col("cu")).as("tt"))
+    val totB = biCnt.agg(sum(col("cb")).as("tb"))
+    biCnt.filter(col("cb") >= minCount)
+      .join(uni.select(col("w"), col("cu").as("c1")), "w")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totB))
+      .select(col("w").as("w1"), col("w2"), col("cb"),
+        round(log((col("cb") / col("tb")) /
+          ((col("c1") / col("tt")) * (col("c2") / col("tt")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Per-document keyword extraction: top-k terms by smoothed TF-IDF
+    * (idf = ln((1+N)/(1+df)) + 1, the scikit-style smoothing that keeps
+    * corpus-wide terms positive), k per doc via the GroupedTopK bounded
+    * heap — no per-document sort, no window. idf and the score are
+    * round(6) so ranking ties break identically on any engine (then term
+    * asc). The tf table is computed once under the scoped cache (feeds
+    * both the doc-frequency aggregate and the scoring join). */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val tf = Dedup.reuse(s"kw:tf:$idCol:$textCol",
+      df.select(col(idCol),
+          explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        round(log((lit(1) + col("nd")) / (lit(1) + col("df"))) + 1, 6))
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+    graft.plans.GroupedTopK(scored, Seq(idCol),
+        Seq(col("score").desc, col("w").asc), k)
+      .select(col(idCol), col("w").as("term"), col("tf"), col("score"))
+  }
+
   // ---- domain-mixture balancing ------------------------------------------
 
   /** Rebalance a corpus to target group proportions ("data mixing"): given

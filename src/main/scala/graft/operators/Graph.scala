@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for web-crawl curation — the graph-shaped quality
+  * signals a 100 TB crawl pipeline computes before any content model runs:
+  * per-page degree statistics and PageRank centrality (the classic
+  * crawl-prioritization / quality prior; Page et al. 1999, as used by the
+  * Common Crawl ranking releases).
+  *
+  * Spark-first design (builder-prompt preference (a): composition over
+  * custom plans):
+  *  - Everything is joins + partial aggregations on the edge list — the
+  *    shapes Catalyst/AQE already plan well (map-side combine on the degree
+  *    counts, broadcast of the rank deltas never happens — both sides are
+  *    corpus-sized and hash-partition on the join key).
+  *  - PageRank is the standard synchronous power iteration: per round ONE
+  *    equi-join (ranks ⋈ edges on src) and ONE grouped sum (contributions
+  *    by dst) — two shuffles per iteration, the floor for any join-based
+  *    formulation. Ranks and edges co-partition on the node id across
+  *    rounds, so AQE reuses the exchange layout.
+  *  - Dangling mass (rank parked on pages with no out-links) is summed to
+  *    ONE driver double per iteration and redistributed uniformly — the
+  *    textbook correction, and the only driver state in the loop (the
+  *    BPE-trainer bounded-driver-state contract: one row per step).
+  *  - `localCheckpoint` after each iteration cuts the lineage chain — at
+  *    iteration k the plan would otherwise nest k joins deep and the
+  *    final-round plan would re-execute the whole history.
+  *
+  * Determinism: rank values are IEEE-double sums whose partition order is
+  * engine-dependent; callers that hash-compare must round on emit (the
+  * repo-wide round(6) discipline — error after a handful of iterations is
+  * ~1e-14, six orders below the grid).
+  */
+object Graph {
+
+  /** Per-node degree table: out_deg, in_deg, dangling (no out-links),
+    * isolated (no links at all). `nodes` must be unique on `idCol`; edges
+    * whose endpoints are absent from `nodes` still count toward the
+    * degrees of the endpoints that ARE present (crawl frontiers reference
+    * pages not yet fetched). Two map-side-combined grouped counts + two
+    * hash joins on the node id — no windows, no driver state. */
+  def linkStats(nodes: DataFrame, edges: DataFrame, idCol: String,
+                srcCol: String, dstCol: String): DataFrame = {
+    val outDeg = edges.groupBy(col(srcCol).as(idCol))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = edges.groupBy(col(dstCol).as(idCol))
+      .agg(count(lit(1)).as("in_deg"))
+    nodes.select(col(idCol))
+      .join(outDeg, Seq(idCol), "left")
+      .join(inDeg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("out_deg").isNull.as("dangling"),
+        (col("out_deg").isNull && col("in_deg").isNull).as("isolated"))
+  }
+
+  /** PageRank over `edges` restricted to the `nodes` universe: rank_0 =
+    * 1/N, then `iters` rounds of
+    *
+    *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outdeg(u) + D/N )
+    *
+    * where D is the dangling mass (Σ rank over nodes with outdeg 0) — so
+    * Σ rank stays exactly 1 every round. Returns (`idCol`, rank).
+    *
+    * Contract: `nodes` unique on `idCol`; edge endpoints drawn from
+    * `nodes` (edges are inner-joined to the rank table, so a stray
+    * endpoint's contribution is dropped rather than corrupting the mass
+    * balance); parallel edges count once per occurrence, self-loops are
+    * legal (callers wanting the classic self-loop-free chain filter
+    * upstream). Driver state: N (one long) + one dangling-mass double per
+    * iteration. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String,
+               srcCol: String, dstCol: String,
+               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val ids = nodes.select(col(idCol))
+    val n = ids.count()
+    require(n > 0, "pageRank needs a non-empty node set")
+
+    // (src, dst, outdeg) — built once, reused every round. The scoped
+    // persist keeps the degree join off the per-iteration critical path.
+    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__odeg"))
+    val e = Dedup.reuse("graph:edges",
+      edges.select(col(srcCol), col(dstCol))
+        .join(outDeg, srcCol)
+        .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+          col("__odeg")))
+    // dangling node ids — fixed across rounds
+    val dangling = Dedup.reuse("graph:dangling",
+      ids.join(edges.select(col(srcCol).as(idCol)).distinct(),
+        Seq(idCol), "left_anti"))
+
+    var ranks = ids.withColumn("__r", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dm = dangling.join(ranks, idCol)
+        .agg(coalesce(sum(col("__r")), lit(0.0))).head.getDouble(0)
+      val contribs = e.join(ranks, e("__src") === ranks(idCol))
+        .groupBy(col("__dst").as(idCol))
+        .agg(sum(col("__r") / col("__odeg")).as("__c"))
+      ranks = ids.join(contribs, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dm / n)))
+            .as("__r"))
+        .localCheckpoint()
+    }
+    ranks.select(col(idCol), col("__r").as("rank"))
+  }
+}

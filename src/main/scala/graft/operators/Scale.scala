@@ -131,4 +131,80 @@ object Scale {
     * the assertion that bucketed co-location actually removed the shuffle. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Best-fit-decreasing sequence packing (the bin-packing view of
+    * training-sequence assembly — Ding et al. 2024 "Fewer Truncations
+    * Improve Language Modeling"): pack items of `lenCol` tokens into bins
+    * of `capacity` so padding waste shrinks vs first-come concatenation,
+    * and NOTHING is ever truncated (items longer than `capacity` are the
+    * caller's contract violation — filtered out, surface them upstream).
+    *
+    * Scale shape: items hash into `buckets` deterministic groups
+    * (xxhash64 of the id — rerun-stable), each bucket is sorted
+    * length-desc ONCE by the shuffle's `sortWithinPartitions`, and a
+    * per-partition greedy best-fit pass assigns bins imperatively — the
+    * genuine per-partition loop `mapPartitions` exists for. Per-bucket
+    * state is just the open-bin load array (longs), so executor memory is
+    * O(bins per bucket), never O(corpus). Bin ids are globally unique by
+    * construction (bucket ⊕ local index). FFD's 11/9·OPT + 1 guarantee
+    * holds per bucket; summed over buckets the bound is
+    * 11/9·Σ_b ceil(total_b/capacity) + buckets, which callers can assert
+    * without knowing the optimum.
+    *
+    * Determinism: bucket hash, the (len desc, id asc) total order, and the
+    * sequential best-fit rule are all deterministic, so the full
+    * (id → bin) assignment is reproducible across runs and cluster
+    * layouts. Returns (idCol, len, bucket, bin_id). */
+  def packBestFit(df: DataFrame, idCol: String, lenCol: String,
+                  capacity: Long, buckets: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity=$capacity must be positive")
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val in = df
+      .select(col(idCol), col(lenCol).cast("long").as("__len"))
+      .filter(col("__len") > 0 && col("__len") <= capacity)
+      .withColumn("__bucket",
+        pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
+    // one shuffle: bucket-partitioned, (bucket, len desc, id) ordered — the
+    // decreasing order best-fit needs, produced by the exchange's sort
+    val sorted = in.repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket").asc, col("__len").desc,
+        col(idCol).asc)
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("len", LongType),
+      StructField("bucket", IntegerType),
+      StructField("bin_id", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    sorted.mapPartitions { it =>
+      // a partition holds whole buckets (hash partitioning on __bucket);
+      // reset open-bin state at each bucket boundary
+      var curBucket = Int.MinValue
+      var loads: scala.collection.mutable.ArrayBuffer[Long] = null
+      it.map { r =>
+        val id = r.get(0)
+        val len = r.getLong(1)
+        val bucket = r.getInt(2)
+        if (bucket != curBucket) {
+          curBucket = bucket
+          loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        // best fit: the open bin with the least remaining space that still
+        // holds `len`; ties to the lowest bin index (scan order)
+        var best = -1
+        var bestRem = Long.MaxValue
+        var i = 0
+        while (i < loads.length) {
+          val rem = capacity - loads(i)
+          if (rem >= len && rem < bestRem) { best = i; bestRem = rem }
+          i += 1
+        }
+        if (best < 0) { loads += len; best = loads.length - 1 }
+        else loads(best) += len
+        Row(id, len, bucket, bucket.toLong * 1000000000L + best)
+      }
+    }
+  }
 }

@@ -160,4 +160,40 @@ object Temporal {
           col("__pt") >= col("__start") && col("__pt") < col("__end"))
       .drop("__pt", "__bucket", "__start", "__end")
   }
+
+  /** Interval×interval overlap join via the same bucket decomposition —
+    * the two-sided sibling of `rangeJoinBinned` (validity-window joins,
+    * meeting/booking conflicts, sensor-uptime overlap). Both sides explode
+    * to the buckets they cover and equi-join on the bucket; the residual
+    * predicate `aStart <= bEnd && bStart <= aEnd` (closed intervals)
+    * exactifies. A pair overlapping k shared buckets would surface k
+    * times, so the join keeps only the bucket containing
+    * max(aStart, bStart) — the first bucket both cover — making every
+    * qualifying pair appear EXACTLY once with no post-join distinct
+    * (a corpus-scale dedup shuffle saved).
+    *
+    * Start/end expressions must be non-negative longs in a shared unit
+    * with start <= end (closed, possibly zero-length). Spark alone would
+    * plan this as BroadcastNestedLoop/cartesian; here it is one
+    * AQE-planned equi-join whose fan-out is governed by `binWidth` — pick
+    * it near the typical interval length so intervals cover O(1) buckets
+    * and bucket population stays O(density). */
+  def intervalOverlapJoin(a: DataFrame, aStartExpr: Column, aEndExpr: Column,
+                          b: DataFrame, bStartExpr: Column, bEndExpr: Column,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, s: Column, e: Column, sN: String, eN: String) =
+      df.withColumn(sN, s.cast("long"))
+        .withColumn(eN, e.cast("long"))
+        .filter(col(eN) >= col(sN))
+        .withColumn("__bucket", explode(sequence(
+          expr(s"$sN div ${binWidth}L"), expr(s"$eN div ${binWidth}L"))))
+    val aB = binned(a, aStartExpr, aEndExpr, "__as", "__ae")
+    val bB = binned(b, bStartExpr, bEndExpr, "__bs", "__be")
+    aB.join(bB,
+        aB("__bucket") === bB("__bucket") &&
+          col("__as") <= col("__be") && col("__bs") <= col("__ae") &&
+          aB("__bucket") === expr(s"greatest(__as, __bs) div ${binWidth}L"))
+      .drop("__as", "__ae", "__bs", "__be", "__bucket")
+  }
 }

@@ -139,4 +139,39 @@ object TextAnalysis {
       "\\?" + track + "$", "")
     regexp_replace(noTrack, "/$", "")
   }
+
+  /** Registrable host for per-domain policies (domain capping, blocklists,
+    * per-site quotas — the C4/RefinedWeb curation knobs): the URL's host,
+    * lowercased, port stripped, one leading "www." folded. Pure regexp
+    * extraction — codegen'd, zero shuffle. Patterns stay inside the
+    * Java-regex ∩ RE2 subset so a DuckDB oracle can replay them verbatim
+    * (the PII-battery discipline). */
+  def extractDomain(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[^/?#]+//([^/?#:]+)", 1)),
+      "^www\\.", "")
+
+  /** Crawl-HTML → text extraction (the WET step every web corpus runs
+    * before any text operator sees a byte): strip comments, script and
+    * style blocks (non-greedy, (?i) — inline flags are shared Java/RE2
+    * syntax), then every remaining tag, decode the five core character
+    * entities (&amp; LAST, so double-escaped entities surface as their
+    * single-escaped text form — the W3C-ordering every real decoder uses),
+    * and collapse whitespace. A deterministic regexp/replace chain:
+    * codegen'd, zero shuffle, and replayable verbatim by a SQL oracle.
+    * [\s\S] stands in for DOTALL so blocks spanning newlines die without
+    * needing a flag RE2 spells differently. */
+  def extractHtmlText(html: Column): Column = {
+    val noComment = regexp_replace(html, "<!--[\\s\\S]*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?i)<script[\\s\\S]*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?i)<style[\\s\\S]*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -1,0 +1,350 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Graph, Scale, Temporal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Web-pipeline and text-mining operators (round 6): link-graph analytics
+  * (PageRank centrality + per-page degree stats — the crawl-quality
+  * priors), the crawl→text WET extraction step, C4/RefinedWeb-style
+  * per-domain capping, the interval-overlap join, PMI collocation mining,
+  * per-document TF-IDF keywords, and best-fit-decreasing sequence
+  * packing. Link graphs are synthesized deterministically from doc_id
+  * arithmetic (the construction-arithmetic oracle method used by the
+  * media and PII suites) so every query has an exact DuckDB twin.
+  */
+object OpsWeb extends Suite {
+
+  // Shared synthetic link graph: every doc u with u%13 != 0 links to
+  // (7u+1) mod N and (13u+5) mod N; every third such doc also links to the
+  // hub page 0. Docs with u%13 == 0 emit nothing — the DANGLING set
+  // (~N/13) whose parked rank mass the power iteration must redistribute.
+  // Self-loops filtered identically on both engines. N is data-dependent
+  // (doc count), carried as a broadcast 1-row aggregate — no literal bakes
+  // the scale factor into the query.
+  private def syntheticEdges(docs: org.apache.spark.sql.DataFrame) = {
+    val cnt = docs.agg(count(lit(1)).as("__n"))
+    val linkers = docs.crossJoin(broadcast(cnt))
+      .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+    val e1 = linkers.select(col("doc_id").as("src"),
+      pmod(col("doc_id") * 7 + 1, col("__n")).as("dst"))
+    val e2 = linkers.select(col("doc_id").as("src"),
+      pmod(col("doc_id") * 13 + 5, col("__n")).as("dst"))
+    val e3 = linkers.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("src"), lit(0L).as("dst"))
+    e1.unionByName(e2).unionByName(e3).filter(col("src") =!= col("dst"))
+  }
+
+  private val edgesSqlCtes =
+    """nn AS (SELECT count(*) AS n FROM documents),
+      |el AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0),
+      |e AS (SELECT src, dst FROM (
+      |    SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM el, nn
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 13 + 5) % n FROM el, nn
+      |    UNION ALL
+      |    SELECT doc_id, 0 FROM el WHERE doc_id % 3 = 0)
+      |  WHERE src <> dst)""".stripMargin
+
+  // -- PageRank centrality: 5 synchronous power iterations at d=0.85 with
+  //    dangling-mass redistribution; emitted scaled by N (mean 1.0) and
+  //    rounded — round(6) absorbs the engine-dependent double-summation
+  //    order (~1e-14 after 5 contractive iterations). The oracle UNROLLS
+  //    the same five iterations as CTE chains — an independently-written
+  //    second implementation of the same recurrence, value-equal per node.
+  //    Float literals use e0-notation in SQL so DuckDB parses DOUBLEs (a
+  //    bare 0.85 is DECIMAL) and (1 - 0.85e0) reproduces Scala's
+  //    1.0 - 0.85 bit pattern. ---------------------------------------------
+  private val pageRankQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"))
+    val cnt = docs.agg(count(lit(1)).as("__n"))
+    Graph.pageRank(docs, syntheticEdges(docs), "doc_id", "src", "dst",
+        iters = 5, damping = 0.85)
+      .crossJoin(broadcast(cnt))
+      .select(col("doc_id"),
+        round(col("rank") * col("__n"), 6).as("rank_scaled"))
+      .orderBy(col("doc_id"))
+  }
+  private val pageRankSql = {
+    val iters = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""d$k AS (SELECT coalesce(sum(r), 0) AS dm FROM $p
+        |  LEFT JOIN od ON $p.id = od.src WHERE od.src IS NULL),
+        |c$k AS (SELECT e.dst AS id, sum($p.r / od.odeg) AS c
+        |  FROM e JOIN od ON e.src = od.src JOIN $p ON e.src = $p.id
+        |  GROUP BY e.dst),
+        |r$k AS (SELECT d.doc_id AS id,
+        |    (1 - 0.85e0) / nn.n
+        |      + 0.85e0 * (coalesce(c$k.c, 0) + d$k.dm / nn.n) AS r
+        |  FROM documents d CROSS JOIN nn CROSS JOIN d$k
+        |  LEFT JOIN c$k ON d.doc_id = c$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSqlCtes,
+      |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+      |r0 AS (SELECT doc_id AS id, 1e0 / n AS r FROM documents, nn),
+      |$iters
+      |SELECT r5.id AS doc_id, round(r5.r * nn.n, 6) AS rank_scaled
+      |FROM r5, nn ORDER BY doc_id""".stripMargin
+  }
+
+  // -- Per-page degree stats over the same graph: out/in degree, dangling,
+  //    isolated — two map-side-combined grouped counts + two left joins. --
+  private val linkStatsQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"))
+    Graph.linkStats(docs, syntheticEdges(docs), "doc_id", "src", "dst")
+      .orderBy(col("doc_id"))
+  }
+  private val linkStatsSql =
+    s"""WITH $edgesSqlCtes,
+      |od AS (SELECT src, count(*) AS odg FROM e GROUP BY 1),
+      |idg AS (SELECT dst, count(*) AS idg FROM e GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(od.odg, 0) AS out_deg,
+      |  coalesce(idg.idg, 0) AS in_deg,
+      |  od.src IS NULL AS dangling,
+      |  (od.src IS NULL AND idg.dst IS NULL) AS isolated
+      |FROM documents d
+      |LEFT JOIN od ON d.doc_id = od.src
+      |LEFT JOIN idg ON d.doc_id = idg.dst
+      |ORDER BY d.doc_id""".stripMargin
+
+  // -- Per-domain document capping (C4/RefinedWeb site quota): synthetic
+  //    URLs with planted case/port noise, registrable domain extracted by
+  //    the shared regexp chain, then at most 5 docs per domain by
+  //    n_chars desc (ties to smallest doc_id) — the GroupedTopK bounded
+  //    heap, no per-domain sort. -----------------------------------------
+  private val domainCapQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val url = concat(lit("HTTPS://WWW."), col("source"),
+      pmod(col("doc_id"), lit(3)).cast("string"),
+      lit(".Example.org:443/p/"), col("doc_id").cast("string"))
+    val withDom = t.documents.select(col("doc_id"), col("n_chars"),
+      TextAnalysis.extractDomain(url).as("domain"))
+    graft.plans.GroupedTopK(withDom, Seq("domain"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 5)
+      .select(col("domain"), col("doc_id"), col("n_chars"))
+      .orderBy(col("domain"), col("doc_id"))
+  }
+  private val domainCapSql =
+    """WITH u AS (SELECT doc_id, n_chars,
+      |    regexp_replace(lower(regexp_extract(
+      |      'HTTPS://WWW.' || source || CAST(doc_id % 3 AS VARCHAR)
+      |        || '.Example.org:443/p/' || CAST(doc_id AS VARCHAR),
+      |      '^[^/?#]+//([^/?#:]+)', 1)), '^www\.', '') AS domain
+      |  FROM documents),
+      |r AS (SELECT domain, doc_id, n_chars, row_number() OVER
+      |        (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+      |      FROM u)
+      |SELECT domain, doc_id, n_chars FROM r WHERE rn <= 5
+      |ORDER BY domain, doc_id""".stripMargin
+
+  // -- HTML → text extraction (the WET step): each doc wrapped in a full
+  //    synthetic page — comment, style and script blocks (the script
+  //    contains '<', '&&' and a '</div>' string literal, so only the
+  //    non-greedy (?i) block patterns remove it correctly), nav/footer
+  //    boilerplate, and the five core entities double- and single-escaped.
+  //    Both engines replay the identical strip→decode→collapse chain. ----
+  private val htmlExtractQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val html = concat(
+      lit("<html><head><!-- crawl 17 --><title>Doc</title>" +
+        "<style type=\"text/css\">p{margin:0} q>a{x:1}</style>" +
+        "<script>if(a<b&&c>0){x=\"</div>\";}</script></head>" +
+        "<body><nav>Home | About</nav><h1>"),
+      substring(col("text"), 1, 40),
+      lit("</h1><p id=\"main\">"), col("text"),
+      lit(" &amp;lt;esc&amp;gt; &lt;raw&gt; &quot;q&quot; &#39;s&#39;" +
+        "&nbsp;end</p><footer>(c) 2026</footer></body></html>"))
+    t.documents.select(col("doc_id"),
+        TextAnalysis.extractHtmlText(html).as("clean_text"),
+        length(html).cast("long").as("html_len"))
+      .orderBy(col("doc_id"))
+  }
+  private val htmlExtractSql =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><!-- crawl 17 --><title>Doc</title>'
+      |    || '<style type="text/css">p{margin:0} q>a{x:1}</style>'
+      |    || '<script>if(a<b&&c>0){x="</div>";}</script></head>'
+      |    || '<body><nav>Home | About</nav><h1>'
+      |    || substr(text, 1, 40) || '</h1><p id="main">' || text
+      |    || ' &amp;lt;esc&amp;gt; &lt;raw&gt; &quot;q&quot; &#39;s&#39;'
+      |    || '&nbsp;end</p><footer>(c) 2026</footer></body></html>'
+      |      AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, html,
+      |    regexp_replace(html, '<!--[\s\S]*?-->', ' ', 'g') AS t FROM h),
+      |s2 AS (SELECT doc_id, html, regexp_replace(t,
+      |    '(?i)<script[\s\S]*?</script>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, html, regexp_replace(t,
+      |    '(?i)<style[\s\S]*?</style>', ' ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, html,
+      |    regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, html,
+      |    replace(replace(replace(replace(replace(replace(t,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)
+      |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+      |  length(html) AS html_len
+      |FROM s5 ORDER BY doc_id""".stripMargin
+
+  // -- Interval-overlap join: validity windows from two order slices;
+  //    bucket-decomposed equi-join with the first-shared-bucket guard (no
+  //    post-join distinct), rollup per left interval. The oracle is
+  //    DuckDB's native inequality-join planner — a structurally different
+  //    algorithm that must produce the identical pair set. ----------------
+  private val intervalJoinQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def days(c: org.apache.spark.sql.Column) =
+      datediff(c.cast("date"), lit("1995-01-01").cast("date")).cast("long")
+    val a = t.orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey").as("a_id"),
+        days(col("o_orderdate")).as("a_start"),
+        (days(col("o_orderdate")) + pmod(col("o_custkey"), lit(20)))
+          .as("a_end"))
+    val b = t.orders.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+      .select(col("o_orderkey").as("b_id"),
+        days(col("o_orderdate")).as("b_start"),
+        (days(col("o_orderdate")) + pmod(col("o_custkey"), lit(15)))
+          .as("b_end"))
+    Temporal.intervalOverlapJoin(a, col("a_start"), col("a_end"),
+        b, col("b_start"), col("b_end"), binWidth = 16L)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_overlap"), sum(col("b_id")).as("b_id_sum"),
+        min(col("b_id")).as("first_b"))
+      .orderBy(col("a_id"))
+  }
+  private val intervalJoinSql =
+    """WITH a AS (SELECT o_orderkey AS a_id,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS a_start,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      + o_custkey % 20 AS a_end
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |b AS (SELECT o_orderkey AS b_id,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS b_start,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      + o_custkey % 15 AS b_end
+      |  FROM orders WHERE o_orderkey % 7 = 3)
+      |SELECT a_id, count(*) AS n_overlap,
+      |  CAST(sum(b_id) AS BIGINT) AS b_id_sum, min(b_id) AS first_b
+      |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      |GROUP BY a_id ORDER BY a_id""".stripMargin
+
+  // -- PMI collocations: top-50 bigrams by rounded pointwise mutual
+  //    information (min count 5) — phrase mining over the corpus bigram
+  //    stream; both engines rank on the ROUNDED pmi with a (w1, w2)
+  //    tie-break so the selected set is portable. ------------------------
+  private val collocationsQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.collocations(t.documents, "doc_id", "text", minCount = 5,
+      k = 50)
+  }
+  private val collocationsSql =
+    """WITH tk AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |bi AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |       FROM tk, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      |       WHERE len(tk) >= 2),
+      |uni AS (SELECT w, count(*) AS cu FROM (
+      |    SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |tt AS (SELECT CAST(sum(cu) AS BIGINT) AS tt FROM uni),
+      |tb AS (SELECT CAST(sum(cb) AS BIGINT) AS tb FROM bc)
+      |SELECT w1, w2, cb,
+      |  round(ln((cb / tb) / ((u1.cu / tt) * (u2.cu / tt))), 6) AS pmi
+      |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+      |CROSS JOIN tt CROSS JOIN tb
+      |WHERE cb >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
+  // -- per-doc TF-IDF keywords: top-3 terms per document by the smoothed
+  //    idf score via the GroupedTopK bounded heap; oracle = row_number
+  //    over the identical rounded ordering. ------------------------------
+  private val keywordsQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.keywords(t.documents, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+  private val keywordsSql =
+    """WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |sc AS (SELECT doc_id, w AS term, tf,
+      |    round(tf * round(ln((1 + nd) / (1 + df)) + 1, 6), 6) AS score
+      |  FROM tf JOIN dfq USING (w) CROSS JOIN nd),
+      |r AS (SELECT doc_id, term, tf, score, row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |      FROM sc)
+      |SELECT doc_id, term, tf, score FROM r WHERE rn <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin
+
+  // -- best-fit-decreasing packing, invariant-gated: the bin assignment
+  //    itself is deterministic but depends on xxhash64 bucketing DuckDB
+  //    cannot replay, so the gate hash-checks the oracle-computable facts
+  //    (item count, token total) and asserts the packing CONTRACT
+  //    in-query: every bin within capacity, every item assigned exactly
+  //    once, and the FFD bound n_bins ≤ 11/9·Σ_b ceil(total_b/cap) + B —
+  //    a broken packer flips a boolean and the hash diverges (the
+  //    recall-twin discipline). ------------------------------------------
+  private val packBestFitQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val cap = 512L
+    val lens = t.documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("len"))
+    val packed = graft.operators.Dedup.reuse("web:packed",
+      Scale.packBestFit(lens, "doc_id", "len", cap, buckets = 32))
+    val binLoads = packed.groupBy(col("bin_id"))
+      .agg(sum(col("len")).as("load"))
+    val bucketBound = packed.groupBy(col("bucket"))
+      .agg(ceil(sum(col("len")).cast("double") / cap).as("optlb"))
+      .agg(sum(col("optlb")).cast("long").as("optlb"),
+        count(lit(1)).as("nbk"))
+    val stats = packed.agg(count(lit(1)).as("n_items"),
+      sum(col("len")).as("total_len"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      countDistinct(col("bin_id")).as("n_bins"))
+    val loadStats = binLoads.agg(max(col("load")).as("max_load"))
+    stats.crossJoin(broadcast(loadStats))
+      .crossJoin(broadcast(bucketBound))
+      .select(col("n_items"), col("total_len"),
+        (col("max_load") <= cap).as("bins_ok"),
+        (col("n_bins").cast("double") <=
+          lit(11.0 / 9.0) * col("optlb") + col("nbk")).as("bound_ok"),
+        (col("n_ids") === col("n_items")).as("once_ok"))
+  }
+  private val packBestFitSql =
+    """SELECT count(*) AS n_items,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS total_len,
+      |  TRUE AS bins_ok, TRUE AS bound_ok, TRUE AS once_ok
+      |FROM documents
+      |WHERE len(string_split_regex(trim(text), '\s+'))
+      |  BETWEEN 1 AND 512""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "llm_collocations" -> collocationsQ,
+    "llm_keywords" -> keywordsQ,
+    "llm_pack_bestfit" -> packBestFitQ,
+    "llm_pagerank" -> pageRankQ,
+    "llm_link_stats" -> linkStatsQ,
+    "llm_domain_cap" -> domainCapQ,
+    "llm_html_extract" -> htmlExtractQ,
+    "op_interval_join" -> intervalJoinQ)
+
+  def oracle: Map[String, String] = Map(
+    "llm_collocations" -> collocationsSql,
+    "llm_keywords" -> keywordsSql,
+    "llm_pack_bestfit" -> packBestFitSql,
+    "llm_pagerank" -> pageRankSql,
+    "llm_link_stats" -> linkStatsSql,
+    "llm_domain_cap" -> domainCapSql,
+    "llm_html_extract" -> htmlExtractSql,
+    "op_interval_join" -> intervalJoinSql)
+}

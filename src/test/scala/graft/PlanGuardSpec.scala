@@ -70,6 +70,22 @@ class PlanGuardSpec extends SparkSpec {
                                      // n_tgt) crossed into the ≤buckets-row
                                      // log-ratio table
     "llm_distinct_sketch" -> 1,      // 1-row merged sketch × 1-row exact
+    "llm_pagerank" -> 1,             // 1-row node-count broadcast (the
+                                     // rank×N emit scale; iteration plans
+                                     // are checkpoint-truncated)
+    "llm_link_stats" -> 6,           // 1-row node-count broadcast inside
+                                     // each of the 3 synthetic-edge union
+                                     // branches, rendered under both the
+                                     // out-degree and in-degree aggregates
+                                     // (2 scans of the edge list by design
+                                     // — cheaper than persisting a
+                                     // corpus-scale edge set for one reuse)
+    "llm_collocations" -> 2,         // 1-row token-total + bigram-total
+                                     // aggregates crossed into the
+                                     // bigram-type table
+    "llm_keywords" -> 1,             // 1-row doc-count aggregate (idf N)
+    "llm_pack_bestfit" -> 2,         // 1-row bin-load max + FFD-bound
+                                     // summary crosses
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
@@ -160,7 +176,27 @@ class PlanGuardSpec extends SparkSpec {
     "llm_normalize" -> (1, 0, 0, 0),
     "llm_salted_join" -> (4, 0, 0, 2),
     "llm_snapshot_diff" -> (4, 1, 0, 2),
-    "llm_hard_negatives" -> (7, 0, 2, 6))
+    "llm_hard_negatives" -> (7, 0, 2, 6),
+    // round-6 web suite. pagerank's plan is checkpoint-truncated (the
+    // returned frame is the final iteration's LogicalRDD + the rank×N
+    // emit) — 3 exchanges. link_stats re-renders the 3-branch synthetic
+    // edge union under both degree aggregates. domain_cap must keep the
+    // GroupedTopK pair (partial+final bounded heaps — a window rewrite
+    // regression would zero it). interval join: two binned scans + the
+    // bucket equi-join, both scans with pushed slice filters.
+    "llm_pagerank" -> (3, 0, 0, 0),
+    "llm_link_stats" -> (17, 0, 0, 6),
+    "llm_domain_cap" -> (2, 0, 2, 0),
+    "llm_html_extract" -> (1, 0, 0, 0),
+    "op_interval_join" -> (3, 0, 0, 2),
+    // collocations: bigram-type + vocab aggregates, two scalar crosses,
+    // TakeOrderedAndProject top-k. keywords: scoped-cached tf table feeds
+    // the df aggregate and the scoring join; GroupedTopK partial+final
+    // pair must survive. pack_bestfit: one bucket repartition + the
+    // summary aggregates over the cached packing.
+    "llm_collocations" -> (13, 0, 0, 0),
+    "llm_keywords" -> (8, 0, 2, 0),
+    "llm_pack_bestfit" -> (11, 0, 0, 0))
 
   test("plan fingerprints hold for the headline set: exchange and " +
     "sort-merge-join counts bounded, top-k fusion and filter pushdown " +

@@ -107,4 +107,43 @@ class ScaleSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotUnique == want)
   }
+
+  test("packBestFit: capacity respected, exactly-once, FFD bound, " +
+    "deterministic across runs") {
+    val rnd = new scala.util.Random(7)
+    val items = (1 to 400).map(i => (i.toLong, (rnd.nextInt(200) + 1).toLong))
+    val df = items.toDF("id", "len")
+    val cap = 256L
+    def run() = Scale.packBestFit(df, "id", "len", cap, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    val got = run()
+    // exactly once
+    assert(got.map(_._1).sorted.toSeq == items.map(_._1).sorted)
+    // capacity respected per bin
+    val loads = got.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    assert(loads.values.forall(_ <= cap))
+    // FFD bound per bucket sum: n_bins <= 11/9 * sum_b ceil(total_b/cap) + B
+    val perBucket = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val optLb = perBucket.values.map(t => (t + cap - 1) / cap).sum
+    assert(loads.size <= 11.0 / 9.0 * optLb + perBucket.size)
+    // rerun-identical assignment (deterministic hash bucketing + ordering)
+    assert(run().sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // beats (or matches) first-come sequential concatenation in bin count
+    val seqBins = items.foldLeft((0, 0L)) { case ((bins, load), (_, len)) =>
+      if (load + len <= cap) (math.max(bins, 1), load + len)
+      else (bins + 1, len)
+    }._1
+    assert(loads.size <= seqBins + perBucket.size,
+      s"FFD ${loads.size} bins vs sequential $seqBins (+bucket slack)")
+  }
+
+  test("packBestFit: oversize and non-positive items are excluded, " +
+    "single-item-per-bin edge works") {
+    val df = Seq((1L, 300L), (2L, 0L), (3L, 256L), (4L, 1L))
+      .toDF("id", "len")
+    val got = Scale.packBestFit(df, "id", "len", 256L, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(3L, 4L))
+  }
 }

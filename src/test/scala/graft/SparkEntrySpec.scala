@@ -9,7 +9,7 @@ class SparkEntrySpec extends SparkSpec {
     val suites = Seq(queries.Tpch, queries.OpsRelational, queries.OpsScalar,
       queries.OpsExtensibility, queries.OpsLlm, queries.OpsEvents,
       queries.OpsSql, queries.OpsTemporal, queries.OpsCuration,
-      queries.OpsImage, queries.OpsSelection)
+      queries.OpsImage, queries.OpsSelection, queries.OpsWeb)
     val all = suites.flatMap(_.defs.keys)
     val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate query names: $dupes")

@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators.{Graph, Temporal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Web-pipeline operators: PageRank vs an in-memory reference iteration
+  * (plus mass conservation and dangling redistribution), linkStats degree
+  * table, domain extraction vectors, HTML→text extraction vectors, and
+  * intervalOverlapJoin parity vs the brute-force theta join across bin
+  * widths (including touching endpoints, zero-length intervals, and the
+  * exactly-once pair guarantee).
+  */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→2, 1→3, 2→3; node 3 dangling; node 4 isolated.
+  private def tinyNodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+  private def tinyEdges =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+
+  /** Driver-side reference PageRank: same recurrence, Map arithmetic. */
+  private def refRanks(n: Int, edges: Seq[(Long, Long)], iters: Int,
+                       d: Double, ids: Seq[Long]): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = ids.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = ids.filterNot(out.contains).map(r).sum
+      val c = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = ids.map(v =>
+        v -> ((1.0 - d) / n + d * (c.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the reference iteration and conserves mass") {
+    val got = Graph.pageRank(tinyNodes, tinyEdges, "id", "src", "dst",
+        iters = 4, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refRanks(4, Seq((1L, 2L), (1L, 3L), (2L, 3L)), 4, 0.85,
+      Seq(1L, 2L, 3L, 4L))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12,
+      s"node $k: got $v want ${want(k)}") }
+    // total mass stays exactly 1 (dangling redistribution, not decay)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // 3 collects from two pages (one a rank source), 4 only the base rate
+    assert(got(3L) > got(2L) && got(2L) > got(4L))
+  }
+
+  test("pageRank single iteration hand check") {
+    // r0 = 1/4 each; dm = r(3)+r(4) = 1/2
+    // c(2) = r(1)/2 = 1/8; c(3) = r(1)/2 + r(2)/1 = 3/8
+    // r'(v) = 0.0375 + 0.85*(c(v) + 1/8)
+    val got = Graph.pageRank(tinyNodes, tinyEdges, "id", "src", "dst",
+        iters = 1, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def f(c: Double) = 0.15 / 4 + 0.85 * (c + 0.125)
+    assert(math.abs(got(1L) - f(0.0)) < 1e-15)
+    assert(math.abs(got(2L) - f(0.125)) < 1e-15)
+    assert(math.abs(got(3L) - f(0.375)) < 1e-15)
+    assert(math.abs(got(4L) - f(0.0)) < 1e-15)
+  }
+
+  test("linkStats degrees and flags") {
+    val got = Graph.linkStats(tinyNodes, tinyEdges, "id", "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, 2L, 0L, false, false),
+      (2L, 1L, 1L, false, false),
+      (3L, 0L, 2L, true, false),
+      (4L, 0L, 0L, true, true)))
+  }
+
+  test("extractDomain vectors") {
+    val in = Seq(
+      "HTTPS://WWW.News.Example.ORG:443/a/b?x=1",
+      "http://example.com/",
+      "http://www.sub.example.com:8080/path",
+      "https://wwwx.example.com/q", // leading www only strips with the dot
+      "ftp://Files.Example.net")
+    val got = in.toDF("u")
+      .select(TextAnalysis.extractDomain(col("u"))).as[String].collect()
+    assert(got.toSeq == Seq("news.example.org", "example.com",
+      "sub.example.com", "wwwx.example.com", "files.example.net"))
+  }
+
+  test("extractHtmlText strips blocks, tags, entities") {
+    val html = "<html><!-- c\nomment --><head><STYLE>a>b{x}</STYLE>" +
+      "<Script type=\"a\">var s=\"</div>\"; if(a<b&&c>d){}</Script>" +
+      "</head><body><p>Hello &amp;amp; &lt;world&gt;&nbsp;&quot;hi&quot;" +
+      " &#39;s&#39;</p>\n<div>two\twords</div></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"))).as[String].head()
+    // &amp;amp; decodes ONE level (to &amp;) — the double-escape contract
+    assert(got == "Hello &amp; <world> \"hi\" 's' two words")
+  }
+
+  test("extractHtmlText leaves plain text alone") {
+    val got = Seq("no tags  here").toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"))).as[String].head()
+    assert(got == "no tags here")
+  }
+
+  private def bruteOverlap(a: Seq[(Long, Long, Long)],
+                           b: Seq[(Long, Long, Long)]) =
+    (for {
+      (ai, as, ae) <- a
+      (bi, bs, be) <- b
+      if as <= be && bs <= ae
+    } yield (ai, bi)).sorted
+
+  test("intervalOverlapJoin equals brute force at several bin widths") {
+    // deterministic pseudo-random-ish intervals incl. touching endpoints,
+    // zero-length intervals, containment, and far-apart pairs
+    val a = (0L until 40L).map(i => (i, i * 3 % 50, i * 3 % 50 + i % 7))
+    val b = (0L until 30L).map(i => (i + 100, i * 5 % 45, i * 5 % 45 + i % 11))
+    val aDf = a.toDF("a_id", "a_s", "a_e")
+    val bDf = b.toDF("b_id", "b_s", "b_e")
+    val want = bruteOverlap(a, b)
+    for (w <- Seq(1L, 3L, 16L, 1000L)) {
+      val got = Temporal.intervalOverlapJoin(aDf, col("a_s"), col("a_e"),
+          bDf, col("b_s"), col("b_e"), w)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // Seq equality (not Set): a duplicated pair — a broken exactly-once
+      // guard — fails here even when the pair SET is right
+      assert(got == want, s"binWidth $w")
+    }
+  }
+
+  test("collocations PMI hand check with tie-break") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .collocations(docs, "doc_id", "text", minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // T=7 tokens, B=5 bigrams; c(a)=3 c(b)=3 c(c)=1
+    def pmi(cb: Long, c1: Long, c2: Long) = BigDecimal(
+      math.log((cb / 5.0) / ((c1 / 7.0) * (c2 / 7.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (a,b) and (b,c) share the same PMI — w1 tie-break orders (a,b) first
+    assert(got.toSeq == Seq(
+      ("a", "b", 3L, pmi(3, 3, 3)),
+      ("b", "c", 1L, pmi(1, 3, 1)),
+      ("b", "a", 1L, pmi(1, 3, 3))))
+  }
+
+  test("keywords tf-idf hand check") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.keywords(docs, "doc_id", "text", 2)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // df: x=1 y=2 z=1; idf_x = idf_z = ln(3/2)+1 > idf_y = ln(1)+1 = 1
+    assert(got.toSeq == Seq((1L, "x", 2L), (1L, "y", 1L),
+      (2L, "z", 1L), (2L, "y", 1L)))
+  }
+
+  test("intervalOverlapJoin closed-interval semantics") {
+    val aDf = Seq((1L, 10L, 20L)).toDF("a_id", "a_s", "a_e")
+    val bDf = Seq((1L, 20L, 30L), (2L, 21L, 30L), (3L, 5L, 10L),
+      (4L, 15L, 15L)).toDF("b_id", "b_s", "b_e")
+    val got = Temporal.intervalOverlapJoin(aDf, col("a_s"), col("a_e"),
+        bDf, col("b_s"), col("b_e"), 7L)
+      .select("b_id").as[Long].collect().toSet
+    // touching at 20 and at 10 both overlap (closed); zero-length inside
+    // overlaps; disjoint by one (21) does not
+    assert(got == Set(1L, 3L, 4L))
+  }
+}
