@@ -57,30 +57,50 @@ object Graph {
         (col("out_deg").isNull && col("in_deg").isNull).as("isolated"))
   }
 
-  /** PageRank over `edges` restricted to the `nodes` universe: rank_0 =
-    * 1/N, then `iters` rounds of
+  /** PageRank over `edges` restricted to the `nodes` universe, with an
+    * optional teleport set: rank_0 = t(·), then `iters` rounds of
     *
-    *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outdeg(u) + D/N )
+    *   rank'(v) = (1−d)·t(v) + d·( Σ_{u→v} rank(u)/outdeg(u) + D·t(v) )
     *
-    * where D is the dangling mass (Σ rank over nodes with outdeg 0) — so
-    * Σ rank stays exactly 1 every round. Returns (`idCol`, rank).
+    * where t is the teleport distribution — uniform 1/N without
+    * `teleport`, uniform over the seed set with it (TrustRank, Gyöngyi et
+    * al. VLDB 2004: trust flows OUT of a vetted seed set, so link-spam
+    * neighborhoods no seed reaches stay near zero — the crawl-level
+    * spam/quality prior) — and D the dangling mass (Σ rank over nodes
+    * with outdeg 0). Both the restart and the dangling redistribution go
+    * to t, so Σ rank stays exactly 1 every round. Returns (`idCol`, rank).
     *
-    * Contract: `nodes` unique on `idCol`; edge endpoints drawn from
-    * `nodes` (edges are inner-joined to the rank table, so a stray
-    * endpoint's contribution is dropped rather than corrupting the mass
-    * balance); parallel edges count once per occurrence, self-loops are
-    * legal (callers wanting the classic self-loop-free chain filter
-    * upstream). Driver state: N (one long) + one dangling-mass double per
-    * iteration. */
+    * Contract: `nodes` unique on `idCol`; edge endpoints and seeds drawn
+    * from `nodes` (both are joined against it — a stray endpoint's
+    * contribution is dropped rather than corrupting the mass balance);
+    * parallel edges count once per occurrence, self-loops are legal
+    * (callers wanting the classic self-loop-free chain filter upstream).
+    * Driver state: N and |seeds| (two longs) + one dangling-mass double
+    * per iteration. */
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String,
                srcCol: String, dstCol: String,
-               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+               iters: Int = 5, damping: Double = 0.85,
+               teleport: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
     val ids = nodes.select(col(idCol))
     val n = ids.count()
     require(n > 0, "pageRank needs a non-empty node set")
+
+    // teleport column t(v), materialized once on the node table
+    val tele = teleport match {
+      case None => ids.withColumn("__tv", lit(1.0 / n))
+      case Some(s) =>
+        val seeds = s.select(col(idCol)).distinct()
+        val m = seeds.join(ids, idCol).count()
+        require(m > 0, "teleport seed set shares no ids with nodes")
+        ids.join(seeds.withColumn("__seed", lit(1)), Seq(idCol), "left")
+          .select(col(idCol),
+            when(col("__seed").isNotNull, lit(1.0 / m))
+              .otherwise(lit(0.0)).as("__tv"))
+    }
+    val teleP = Dedup.reuse("graph:tv", tele)
 
     // (src, dst, outdeg) — built once, reused every round. The scoped
     // persist keeps the degree join off the per-iteration critical path.
@@ -95,17 +115,19 @@ object Graph {
       ids.join(edges.select(col(srcCol).as(idCol)).distinct(),
         Seq(idCol), "left_anti"))
 
-    var ranks = ids.withColumn("__r", lit(1.0 / n)).localCheckpoint()
+    var ranks = teleP.select(col(idCol), col("__tv").as("__r"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val dm = dangling.join(ranks, idCol)
         .agg(coalesce(sum(col("__r")), lit(0.0))).head.getDouble(0)
       val contribs = e.join(ranks, e("__src") === ranks(idCol))
         .groupBy(col("__dst").as(idCol))
         .agg(sum(col("__r") / col("__odeg")).as("__c"))
-      ranks = ids.join(contribs, Seq(idCol), "left")
+      ranks = teleP.join(contribs, Seq(idCol), "left")
         .select(col(idCol),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dm / n)))
+          (lit(1.0 - damping) * col("__tv") +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              lit(dm) * col("__tv")))
             .as("__r"))
         .localCheckpoint()
     }

@@ -88,6 +88,50 @@ object OpsWeb extends Suite {
       |FROM r5, nn ORDER BY doc_id""".stripMargin
   }
 
+  // -- TrustRank (Gyöngyi et al. 2004): the same power iteration with the
+  //    teleport distribution concentrated on a vetted seed set (docs with
+  //    doc_id % 17 == 0) — restart AND dangling mass go to seeds, so
+  //    pages no seed reaches decay to exactly zero. Oracle unrolls the
+  //    seeded recurrence the same way llm_pagerank's does. ---------------
+  private val trustRankQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"))
+    val cnt = docs.agg(count(lit(1)).as("__n"))
+    val seeds = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+    Graph.pageRank(docs, syntheticEdges(docs), "doc_id", "src", "dst",
+        iters = 5, damping = 0.85, teleport = Some(seeds))
+      .crossJoin(broadcast(cnt))
+      .select(col("doc_id"),
+        round(col("rank") * col("__n"), 6).as("trust_scaled"))
+      .orderBy(col("doc_id"))
+  }
+  private val trustRankSql = {
+    val iters = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""d$k AS (SELECT coalesce(sum(r), 0) AS dm FROM $p
+        |  LEFT JOIN od ON $p.id = od.src WHERE od.src IS NULL),
+        |c$k AS (SELECT e.dst AS id, sum($p.r / od.odeg) AS c
+        |  FROM e JOIN od ON e.src = od.src JOIN $p ON e.src = $p.id
+        |  GROUP BY e.dst),
+        |r$k AS (SELECT tv.id,
+        |    (1 - 0.85e0) * tv.tv
+        |      + 0.85e0 * (coalesce(c$k.c, 0) + d$k.dm * tv.tv) AS r
+        |  FROM tv CROSS JOIN d$k LEFT JOIN c$k ON tv.id = c$k.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSqlCtes,
+      |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+      |sm AS (SELECT count(*) AS m FROM documents WHERE doc_id % 17 = 0),
+      |tv AS (SELECT d.doc_id AS id,
+      |         CASE WHEN d.doc_id % 17 = 0 THEN 1e0 / sm.m
+      |              ELSE 0e0 END AS tv
+      |       FROM documents d CROSS JOIN sm),
+      |r0 AS (SELECT id, tv AS r FROM tv),
+      |$iters
+      |SELECT r5.id AS doc_id, round(r5.r * nn.n, 6) AS trust_scaled
+      |FROM r5, nn ORDER BY doc_id""".stripMargin
+  }
+
   // -- Per-page degree stats over the same graph: out/in degree, dangling,
   //    isolated — two map-side-combined grouped counts + two left joins. --
   private val linkStatsQ: Q = (s, dir) => {
@@ -328,21 +372,114 @@ object OpsWeb extends Suite {
       |WHERE len(string_split_regex(trim(text), '\s+'))
       |  BETWEEN 1 AND 512""".stripMargin
 
+  // -- end-to-end web curation capstone: crawl URL canonicalization →
+  //    crawl-level dedup (min-id per canonical URL) → HTML→text WET
+  //    extraction → token-count quality floor → per-domain capping →
+  //    per-domain corpus stats. ONE oracle replays the whole chain
+  //    (regexp-by-regexp, row_number twice) — the pipeline_curate_v2
+  //    discipline applied to the web suite. ------------------------------
+  private val pipelineWebQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val raw = concat(lit("HTTP://WWW."), col("source"),
+      lit(".Site.COM/p/"), pmod(col("doc_id"), lit(50)).cast("string"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm_source=a"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("#f"))
+        .otherwise(lit("")))
+    val html = concat(lit("<html><body><nav>Site Nav</nav><p>"),
+      col("text"),
+      lit(" &amp; tail</p><script>if(x<1&&y>2){z=\"</p>\";}</script>" +
+        "</body></html>"))
+    val base = t.documents.select(col("doc_id"), col("n_chars"),
+      TextAnalysis.canonicalizeUrl(raw).as("canon"), html.as("html"))
+    val surv = graft.operators.Dedup.exact(base, Seq("canon"), "doc_id")
+    val cleaned = surv
+      .withColumn("clean", TextAnalysis.extractHtmlText(col("html")))
+      .withColumn("tok", size(split(col("clean"), " ")).cast("long"))
+      .filter(col("tok") >= 20)
+      .withColumn("domain", TextAnalysis.extractDomain(col("canon")))
+    graft.plans.GroupedTopK(cleaned, Seq("domain"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 8)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain"))
+  }
+  private val pipelineWebSql =
+    """WITH u AS (SELECT doc_id, n_chars, text,
+      |    'HTTP://WWW.' || source || '.Site.COM/p/'
+      |    || CAST(doc_id % 50 AS VARCHAR)
+      |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=a' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN '#f' ELSE '' END AS raw
+      |  FROM documents),
+      |c0 AS (SELECT doc_id, n_chars, text,
+      |       regexp_replace(raw, '#.*$', '') AS s FROM u),
+      |c2 AS (SELECT doc_id, n_chars, text,
+      |    regexp_replace(lower(regexp_extract(s,
+      |      '^([^/?#]+//[^/?#]*)', 1)), ':(80|443)$', '')
+      |    || regexp_replace(s, '^[^/?#]+//[^/?#]*', '') AS s FROM c0),
+      |c3 AS (SELECT doc_id, n_chars, text,
+      |    regexp_replace(regexp_replace(regexp_replace(s,
+      |    '&(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+      |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
+      |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', '') AS s FROM c2),
+      |cn AS (SELECT doc_id, n_chars, text,
+      |       regexp_replace(s, '/$', '') AS canon FROM c3),
+      |surv AS (SELECT doc_id, n_chars, text, canon FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY canon
+      |      ORDER BY doc_id) AS rn FROM cn) WHERE rn = 1),
+      |h AS (SELECT doc_id, n_chars, canon,
+      |    '<html><body><nav>Site Nav</nav><p>' || text
+      |    || ' &amp; tail</p><script>if(x<1&&y>2){z="</p>";}</script>'
+      |    || '</body></html>' AS html
+      |  FROM surv),
+      |s1 AS (SELECT doc_id, n_chars, canon,
+      |    regexp_replace(html, '<!--[\s\S]*?-->', ' ', 'g') AS t FROM h),
+      |s2 AS (SELECT doc_id, n_chars, canon, regexp_replace(t,
+      |    '(?i)<script[\s\S]*?</script>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, n_chars, canon, regexp_replace(t,
+      |    '(?i)<style[\s\S]*?</style>', ' ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, n_chars, canon,
+      |    regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, n_chars, canon,
+      |    replace(replace(replace(replace(replace(replace(t,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+      |cl AS (SELECT doc_id, n_chars, canon,
+      |    trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s5),
+      |tk AS (SELECT doc_id, n_chars, canon,
+      |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS tok
+      |  FROM cl WHERE len(string_split(clean, ' ')) >= 20),
+      |dm AS (SELECT doc_id, n_chars, tok,
+      |    regexp_replace(lower(regexp_extract(canon,
+      |      '^[^/?#]+//([^/?#:]+)', 1)), '^www\.', '') AS domain FROM tk),
+      |cap AS (SELECT domain, doc_id, tok FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY domain
+      |      ORDER BY n_chars DESC, doc_id) AS rn2 FROM dm)
+      |  WHERE rn2 <= 8)
+      |SELECT domain, count(*) AS n_kept,
+      |  CAST(sum(tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
+      |FROM cap GROUP BY domain ORDER BY domain""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "llm_pipeline_web" -> pipelineWebQ,
     "llm_collocations" -> collocationsQ,
     "llm_keywords" -> keywordsQ,
     "llm_pack_bestfit" -> packBestFitQ,
     "llm_pagerank" -> pageRankQ,
+    "llm_trustrank" -> trustRankQ,
     "llm_link_stats" -> linkStatsQ,
     "llm_domain_cap" -> domainCapQ,
     "llm_html_extract" -> htmlExtractQ,
     "op_interval_join" -> intervalJoinQ)
 
   def oracle: Map[String, String] = Map(
+    "llm_pipeline_web" -> pipelineWebSql,
     "llm_collocations" -> collocationsSql,
     "llm_keywords" -> keywordsSql,
     "llm_pack_bestfit" -> packBestFitSql,
     "llm_pagerank" -> pageRankSql,
+    "llm_trustrank" -> trustRankSql,
     "llm_link_stats" -> linkStatsSql,
     "llm_domain_cap" -> domainCapSql,
     "llm_html_extract" -> htmlExtractSql,

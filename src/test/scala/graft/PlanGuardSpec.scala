@@ -73,6 +73,7 @@ class PlanGuardSpec extends SparkSpec {
     "llm_pagerank" -> 1,             // 1-row node-count broadcast (the
                                      // rank×N emit scale; iteration plans
                                      // are checkpoint-truncated)
+    "llm_trustrank" -> 1,            // same shape, seeded teleport
     "llm_link_stats" -> 6,           // 1-row node-count broadcast inside
                                      // each of the 3 synthetic-edge union
                                      // branches, rendered under both the
@@ -185,6 +186,7 @@ class PlanGuardSpec extends SparkSpec {
     // regression would zero it). interval join: two binned scans + the
     // bucket equi-join, both scans with pushed slice filters.
     "llm_pagerank" -> (3, 0, 0, 0),
+    "llm_trustrank" -> (3, 0, 0, 0),
     "llm_link_stats" -> (17, 0, 0, 6),
     "llm_domain_cap" -> (2, 0, 2, 0),
     "llm_html_extract" -> (1, 0, 0, 0),
@@ -194,6 +196,9 @@ class PlanGuardSpec extends SparkSpec {
     // the df aggregate and the scoring join; GroupedTopK partial+final
     // pair must survive. pack_bestfit: one bucket repartition + the
     // summary aggregates over the cached packing.
+    // pipeline_web: dedup GroupedTopK k=1 + domain-cap GroupedTopK, each
+    // a partial+final pair — the capstone must keep BOTH fused
+    "llm_pipeline_web" -> (4, 0, 4, 0),
     "llm_collocations" -> (13, 0, 0, 0),
     "llm_keywords" -> (8, 0, 2, 0),
     "llm_pack_bestfit" -> (11, 0, 0, 0))

@@ -62,6 +62,36 @@ class WebSpec extends SparkSpec {
     assert(math.abs(got(4L) - f(0.0)) < 1e-15)
   }
 
+  test("trustRank: teleport to seeds, unreachable non-seeds decay to " +
+    "exactly zero") {
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.pageRank(tinyNodes, tinyEdges, "id", "src", "dst",
+        iters = 4, damping = 0.85, teleport = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference with the seeded teleport vector
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val tv = ids.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    var r = tv
+    for (_ <- 1 to 4) {
+      val dm = ids.filterNot(out.contains).map(r).sum
+      val c = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = ids.map(v => v -> (0.15 * tv(v) +
+        0.85 * (c.getOrElse(v, 0.0) + dm * tv(v)))).toMap
+    }
+    got.foreach { case (k, v) => assert(math.abs(v - r(k)) < 1e-12,
+      s"node $k: got $v want ${r(k)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // node 4 has no in-links and is not a seed: EXACT zero, not epsilon
+    assert(got(4L) == 0.0)
+    // the seed out-ranks its single-in-link child (node 3, fed by BOTH
+    // pages, may legitimately out-rank the seed — trust is reachability-
+    // weighted, not seed-pinned)
+    assert(got(1L) > got(2L))
+  }
+
   test("linkStats degrees and flags") {
     val got = Graph.linkStats(tinyNodes, tinyEdges, "id", "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
