@@ -133,4 +133,53 @@ object Graph {
     }
     ranks.select(col(idCol), col("__r").as("rank"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) — the second classic
+    * link-analysis signal: a page is a good AUTHORITY if good hubs link to
+    * it, a good HUB if it links to good authorities. `iters` rounds of the
+    * mutual recurrence with L1 normalization after each half-step (keeps
+    * every score a plain proportion — and the normalizer is ONE driver
+    * double per half-step, the pageRank bounded-driver-state contract):
+    *
+    *   a'(v) = Σ_{u→v} h(u) / ‖·‖₁   then   h'(u) = Σ_{u→v} a'(v) / ‖·‖₁
+    *
+    * Same join-shape as pageRank: per half-step one equi-join of the edge
+    * list with the current score vector plus one grouped sum — two
+    * shuffles, localCheckpoint lineage cuts. Returns
+    * (`idCol`, authority, hub). Contract as pageRank's; the graph must
+    * contain at least one edge between `nodes` members (otherwise the
+    * normalizer is zero and HITS is undefined). */
+  def hits(nodes: DataFrame, edges: DataFrame, idCol: String,
+           srcCol: String, dstCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ids = nodes.select(col(idCol))
+    val n = ids.count()
+    require(n > 0, "hits needs a non-empty node set")
+    val e = Dedup.reuse("graph:hits:edges",
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+
+    var auth = ids.withColumn("__s", lit(1.0 / n)).localCheckpoint()
+    var hub = auth
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, e("__src") === hub(idCol))
+        .groupBy(col("__dst").as(idCol)).agg(sum(col("__s")).as("__raw"))
+      val aTot = aRaw.agg(coalesce(sum(col("__raw")), lit(0.0)))
+        .head.getDouble(0)
+      require(aTot > 0, "hits: no edge connects two member nodes")
+      auth = ids.join(aRaw, Seq(idCol), "left")
+        .select(col(idCol),
+          (coalesce(col("__raw"), lit(0.0)) / lit(aTot)).as("__s"))
+        .localCheckpoint()
+      val hRaw = e.join(auth, e("__dst") === auth(idCol))
+        .groupBy(col("__src").as(idCol)).agg(sum(col("__s")).as("__raw"))
+      val hTot = hRaw.agg(coalesce(sum(col("__raw")), lit(0.0)))
+        .head.getDouble(0)
+      hub = ids.join(hRaw, Seq(idCol), "left")
+        .select(col(idCol),
+          (coalesce(col("__raw"), lit(0.0)) / lit(hTot)).as("__s"))
+        .localCheckpoint()
+    }
+    auth.select(col(idCol), col("__s").as("authority"))
+      .join(hub.select(col(idCol), col("__s").as("hub")), Seq(idCol))
+  }
 }

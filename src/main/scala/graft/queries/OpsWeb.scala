@@ -38,7 +38,7 @@ object OpsWeb extends Suite {
   private val edgesSqlCtes =
     """nn AS (SELECT count(*) AS n FROM documents),
       |el AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0),
-      |e AS (SELECT src, dst FROM (
+      |e AS MATERIALIZED (SELECT src, dst FROM (
       |    SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM el, nn
       |    UNION ALL
       |    SELECT doc_id, (doc_id * 13 + 5) % n FROM el, nn
@@ -74,7 +74,7 @@ object OpsWeb extends Suite {
         |c$k AS (SELECT e.dst AS id, sum($p.r / od.odeg) AS c
         |  FROM e JOIN od ON e.src = od.src JOIN $p ON e.src = $p.id
         |  GROUP BY e.dst),
-        |r$k AS (SELECT d.doc_id AS id,
+        |r$k AS MATERIALIZED (SELECT d.doc_id AS id,
         |    (1 - 0.85e0) / nn.n
         |      + 0.85e0 * (coalesce(c$k.c, 0) + d$k.dm / nn.n) AS r
         |  FROM documents d CROSS JOIN nn CROSS JOIN d$k
@@ -82,7 +82,8 @@ object OpsWeb extends Suite {
     }.mkString(",\n")
     s"""WITH $edgesSqlCtes,
       |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
-      |r0 AS (SELECT doc_id AS id, 1e0 / n AS r FROM documents, nn),
+      |r0 AS MATERIALIZED (SELECT doc_id AS id, 1e0 / n AS r
+      |      FROM documents, nn),
       |$iters
       |SELECT r5.id AS doc_id, round(r5.r * nn.n, 6) AS rank_scaled
       |FROM r5, nn ORDER BY doc_id""".stripMargin
@@ -113,7 +114,7 @@ object OpsWeb extends Suite {
         |c$k AS (SELECT e.dst AS id, sum($p.r / od.odeg) AS c
         |  FROM e JOIN od ON e.src = od.src JOIN $p ON e.src = $p.id
         |  GROUP BY e.dst),
-        |r$k AS (SELECT tv.id,
+        |r$k AS MATERIALIZED (SELECT tv.id,
         |    (1 - 0.85e0) * tv.tv
         |      + 0.85e0 * (coalesce(c$k.c, 0) + d$k.dm * tv.tv) AS r
         |  FROM tv CROSS JOIN d$k LEFT JOIN c$k ON tv.id = c$k.id)"""
@@ -122,14 +123,59 @@ object OpsWeb extends Suite {
     s"""WITH $edgesSqlCtes,
       |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
       |sm AS (SELECT count(*) AS m FROM documents WHERE doc_id % 17 = 0),
-      |tv AS (SELECT d.doc_id AS id,
+      |tv AS MATERIALIZED (SELECT d.doc_id AS id,
       |         CASE WHEN d.doc_id % 17 = 0 THEN 1e0 / sm.m
       |              ELSE 0e0 END AS tv
       |       FROM documents d CROSS JOIN sm),
-      |r0 AS (SELECT id, tv AS r FROM tv),
+      |r0 AS MATERIALIZED (SELECT id, tv AS r FROM tv),
       |$iters
       |SELECT r5.id AS doc_id, round(r5.r * nn.n, 6) AS trust_scaled
       |FROM r5, nn ORDER BY doc_id""".stripMargin
+  }
+
+  // -- HITS hubs and authorities over the same graph: 5 rounds of the
+  //    mutual recurrence with L1 normalization per half-step; oracle
+  //    unrolls all ten half-steps. Emitted ×N and rounded like the rank
+  //    queries. -----------------------------------------------------------
+  private val hitsQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"))
+    val cnt = docs.agg(count(lit(1)).as("__n"))
+    Graph.hits(docs, syntheticEdges(docs), "doc_id", "src", "dst",
+        iters = 5)
+      .crossJoin(broadcast(cnt))
+      .select(col("doc_id"),
+        round(col("authority") * col("__n"), 6).as("authority_scaled"),
+        round(col("hub") * col("__n"), 6).as("hub_scaled"))
+      .orderBy(col("doc_id"))
+  }
+  private val hitsSql = {
+    val iters = (1 to 5).map { k =>
+      val p = s"h${k - 1}"
+      s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, sum($p.s) AS raw
+        |  FROM e JOIN $p ON e.src = $p.id GROUP BY e.dst),
+        |a${k}t AS (SELECT coalesce(sum(raw), 0) AS t FROM a${k}r),
+        |a$k AS MATERIALIZED (SELECT d.doc_id AS id,
+        |    coalesce(raw, 0) / t AS s
+        |  FROM documents d CROSS JOIN a${k}t
+        |  LEFT JOIN a${k}r ON d.doc_id = a${k}r.id),
+        |h${k}r AS MATERIALIZED (SELECT e.src AS id, sum(a$k.s) AS raw
+        |  FROM e JOIN a$k ON e.dst = a$k.id GROUP BY e.src),
+        |h${k}t AS (SELECT coalesce(sum(raw), 0) AS t FROM h${k}r),
+        |h$k AS MATERIALIZED (SELECT d.doc_id AS id,
+        |    coalesce(raw, 0) / t AS s
+        |  FROM documents d CROSS JOIN h${k}t
+        |  LEFT JOIN h${k}r ON d.doc_id = h${k}r.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSqlCtes,
+      |h0 AS MATERIALIZED (SELECT doc_id AS id, 1e0 / n AS s
+      |      FROM documents, nn),
+      |$iters
+      |SELECT a5.id AS doc_id,
+      |  round(a5.s * nn.n, 6) AS authority_scaled,
+      |  round(h5.s * nn.n, 6) AS hub_scaled
+      |FROM a5 JOIN h5 ON a5.id = h5.id CROSS JOIN nn
+      |ORDER BY doc_id""".stripMargin
   }
 
   // -- Per-page degree stats over the same graph: out/in degree, dangling,
@@ -468,6 +514,7 @@ object OpsWeb extends Suite {
     "llm_pack_bestfit" -> packBestFitQ,
     "llm_pagerank" -> pageRankQ,
     "llm_trustrank" -> trustRankQ,
+    "llm_hits" -> hitsQ,
     "llm_link_stats" -> linkStatsQ,
     "llm_domain_cap" -> domainCapQ,
     "llm_html_extract" -> htmlExtractQ,
@@ -480,6 +527,7 @@ object OpsWeb extends Suite {
     "llm_pack_bestfit" -> packBestFitSql,
     "llm_pagerank" -> pageRankSql,
     "llm_trustrank" -> trustRankSql,
+    "llm_hits" -> hitsSql,
     "llm_link_stats" -> linkStatsSql,
     "llm_domain_cap" -> domainCapSql,
     "llm_html_extract" -> htmlExtractSql,

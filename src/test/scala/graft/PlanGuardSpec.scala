@@ -74,13 +74,17 @@ class PlanGuardSpec extends SparkSpec {
                                      // rank×N emit scale; iteration plans
                                      // are checkpoint-truncated)
     "llm_trustrank" -> 1,            // same shape, seeded teleport
-    "llm_link_stats" -> 6,           // 1-row node-count broadcast inside
+    "llm_hits" -> 1,                 // same shape (×N emit broadcast)
+    "llm_link_stats" -> 12,          // 1-row node-count broadcast inside
                                      // each of the 3 synthetic-edge union
                                      // branches, rendered under both the
                                      // out-degree and in-degree aggregates
                                      // (2 scans of the edge list by design
                                      // — cheaper than persisting a
-                                     // corpus-scale edge set for one reuse)
+                                     // corpus-scale edge set for one
+                                     // reuse); doubled again in TEXT when
+                                     // the rank queries' scoped caches
+                                     // render their subtrees inline
     "llm_collocations" -> 2,         // 1-row token-total + bigram-total
                                      // aggregates crossed into the
                                      // bigram-type table
@@ -187,7 +191,11 @@ class PlanGuardSpec extends SparkSpec {
     // bucket equi-join, both scans with pushed slice filters.
     "llm_pagerank" -> (3, 0, 0, 0),
     "llm_trustrank" -> (3, 0, 0, 0),
-    "llm_link_stats" -> (17, 0, 0, 6),
+    // hits: the 1 static SMJ is authority ⋈ hub — two checkpointed
+    // node-scale score vectors co-partitioned on the id; the right plan
+    // at any scale (AQE broadcasts it at gate SF anyway)
+    "llm_hits" -> (5, 1, 0, 0),
+    "llm_link_stats" -> (29, 0, 0, 6),
     "llm_domain_cap" -> (2, 0, 2, 0),
     "llm_html_extract" -> (1, 0, 0, 0),
     "op_interval_join" -> (3, 0, 0, 2),

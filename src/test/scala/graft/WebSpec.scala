@@ -92,6 +92,35 @@ class WebSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("hits matches the reference mutual recurrence") {
+    val got = Graph.hits(tinyNodes, tinyEdges, "id", "src", "dst",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    var a = ids.map(_ -> 0.25).toMap
+    var h = ids.map(_ -> 0.25).toMap
+    for (_ <- 1 to 3) {
+      val ar = ids.map(v =>
+        v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val at = ar.values.sum
+      a = ar.view.mapValues(_ / at).toMap
+      val hr = ids.map(v =>
+        v -> edges.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+      val ht = hr.values.sum
+      h = hr.view.mapValues(_ / ht).toMap
+    }
+    ids.foreach { v =>
+      assert(math.abs(got(v)._1 - a(v)) < 1e-12, s"authority $v")
+      assert(math.abs(got(v)._2 - h(v)) < 1e-12, s"hub $v")
+    }
+    // 3 is the pure authority (two in-links, no out-links); 1 the pure hub
+    assert(got(3L)._1 > got(2L)._1 && got(2L)._1 > got(4L)._1)
+    assert(got(1L)._2 > got(2L)._2 && got(got.keySet.min)._2 > got(4L)._2)
+    assert(got(3L)._2 == 0.0 && got(4L)._1 == 0.0)
+  }
+
   test("linkStats degrees and flags") {
     val got = Graph.linkStats(tinyNodes, tinyEdges, "id", "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -144,7 +173,9 @@ class WebSpec extends SparkSpec {
   test("intervalOverlapJoin equals brute force at several bin widths") {
     // deterministic pseudo-random-ish intervals incl. touching endpoints,
     // zero-length intervals, containment, and far-apart pairs
-    val a = (0L until 40L).map(i => (i, i * 3 % 50, i * 3 % 50 + i % 7))
+    // one full-span interval exercises the many-bucket explosion path
+    val a = (0L until 40L).map(i => (i, i * 3 % 50, i * 3 % 50 + i % 7)) :+
+      ((99L, 0L, 1000L))
     val b = (0L until 30L).map(i => (i + 100, i * 5 % 45, i * 5 % 45 + i % 11))
     val aDf = a.toDF("a_id", "a_s", "a_e")
     val bDf = b.toDF("b_id", "b_s", "b_e")
