@@ -496,6 +496,56 @@ object Curation {
       .limit(k)
   }
 
+  /** Positional phrase search — the inverted-index formulation of exact
+    * phrase matching (the search-infrastructure primitive BM25's
+    * bag-of-words scoring cannot express): each phrase word's postings
+    * (doc, position) are equi-joined on ALIGNED positions (word k joins at
+    * position i − k), so a surviving (doc, p) row is a genuine occurrence
+    * of the full phrase starting at p. Returns (`idCol`, n_matches) for
+    * documents with ≥ 1 occurrence.
+    *
+    * Scale: one token-position scan, then per-word postings — each a
+    * FILTERED (tiny) slice of the stream — joined on (doc, alignedPos);
+    * all equi-joins, no windows, no quadratic stage. A pre-built
+    * positional index table slots into the same join shape. */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val toks = df.select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("i", "w")))
+      .filter(col("w").isNotNull)
+    val first = toks.filter(col("w") === phrase.head)
+      .select(col(idCol), col("i").as("p"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (w, k)) =>
+        acc.join(toks.filter(col("w") === w)
+          .select(col(idCol), (col("i") - k).as("p")), Seq(idCol, "p"))
+      }
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Per-document token entropy — the vocabulary-diversity signal
+    * (repetitive/boilerplate docs score low, natural prose high):
+    * H = −Σ_w (tf/T)·ln(tf/T), computed in the algebraic form
+    * ln T − (Σ tf·ln tf)/T so ONE grouped aggregation over the (doc,
+    * term, tf) table suffices (no per-doc second pass for T). Returns
+    * (`idCol`, n_tokens, n_terms, entropy); callers round on emit for
+    * cross-engine hash stability. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(col("tf").cast("double") * log(col("tf"))).as("__stlt"))
+      .select(col(idCol), col("n_tokens"), col("n_terms"),
+        (log(col("n_tokens")) - col("__stlt") / col("n_tokens"))
+          .as("entropy"))
+  }
+
   /** Per-document keyword extraction: top-k terms by smoothed TF-IDF
     * (idf = ln((1+N)/(1+df)) + 1, the scikit-style smoothing that keeps
     * corpus-wide terms positive), k per doc via the GroupedTopK bounded

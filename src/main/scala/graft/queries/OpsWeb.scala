@@ -507,7 +507,128 @@ object OpsWeb extends Suite {
       |  CAST(sum(tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
       |FROM cap GROUP BY domain ORDER BY domain""".stripMargin
 
+  // -- positional phrase search: a common 2-word and a rare 3-word phrase
+  //    through the inverted-index join; the oracle replays token-position
+  //    equality — a structurally different algorithm (array scan vs
+  //    postings join) that must agree doc-by-doc AND count-by-count. -----
+  private val phraseSearchQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val p1 = Curation.phraseMatch(t.documents, "doc_id", "text",
+        Seq("table", "value"))
+      .withColumn("phrase", lit("table value"))
+    val p2 = Curation.phraseMatch(t.documents, "doc_id", "text",
+        Seq("query", "key", "scan"))
+      .withColumn("phrase", lit("query key scan"))
+    p1.unionByName(p2)
+      .select(col("phrase"), col("doc_id"), col("n_matches"))
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+  private val phraseSearchSql =
+    """WITH tk AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |m1 AS (SELECT doc_id, count(*) AS n_matches
+      |  FROM tk, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      |  WHERE tk[i] = 'table' AND tk[i + 1] = 'value' GROUP BY doc_id),
+      |m2 AS (SELECT doc_id, count(*) AS n_matches
+      |  FROM tk, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+      |  WHERE tk[i] = 'query' AND tk[i + 1] = 'key' AND tk[i + 2] = 'scan'
+      |  GROUP BY doc_id)
+      |SELECT phrase, doc_id, n_matches FROM (
+      |  SELECT 'table value' AS phrase, doc_id, n_matches FROM m1
+      |  UNION ALL
+      |  SELECT 'query key scan', doc_id, n_matches FROM m2)
+      |ORDER BY phrase, doc_id""".stripMargin
+
+  // -- per-doc token entropy (vocabulary diversity): the ln T − Σtf·ln tf/T
+  //    algebraic form on both engines, round(6) on emit. ------------------
+  private val tokenEntropyQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.tokenEntropy(t.documents, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_terms"),
+        round(col("entropy"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+  private val tokenEntropySql =
+    """WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+      |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |        count(*) AS n_terms,
+      |        sum(CAST(tf AS DOUBLE) * ln(tf)) AS stlt
+      |      FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_terms,
+      |  round(ln(n_tokens) - stlt / n_tokens, 6) AS entropy
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  // -- incremental-ingestion capstone: yesterday's corpus (docs %3 != 0,
+  //    narrow (id, md5) state) + today's batch (docs %3 == 0, every 5th
+  //    carrying a planted copy of a seen doc's text) → Bloom-prefiltered
+  //    incremental dedup → updated corpus → HLL distinct estimate checked
+  //    against exact within 5% in-query. The daily-append shape every
+  //    100 TB corpus pipeline runs; counts are exact on both engines,
+  //    the sketch tolerance is a recall-twin-style boolean. --------------
+  private val pipelineIncrementalQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val seen = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .withColumn("fp", md5(col("text")))
+    val donor = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__dtext"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(15)) === 0 &&
+            col("__dtext").isNotNull, col("__dtext"))
+          .otherwise(col("text"))).as("fp"))
+    val newDocs = graft.operators.Dedup.reuse("incr2:new",
+      graft.operators.Dedup.bloomIncremental(batch,
+        seen.select(col("fp")), "fp", "doc_id", fpp = 0.03))
+    val updated = graft.operators.Dedup.reuse("incr2:upd",
+      seen.select(col("fp")).unionByName(newDocs.select(col("fp"))))
+    val a1 = seen.agg(count(lit(1)).as("n_seen"))
+    val a2 = batch.agg(count(lit(1)).as("n_batch"),
+      countDistinct(col("fp")).as("__nbfp"))
+    val a3 = newDocs.agg(count(lit(1)).as("n_new"))
+    val a4 = updated.agg(countDistinct(col("fp")).as("distinct_updated"))
+    val est = updated.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(fp))").as("__est"))
+    a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+      .crossJoin(broadcast(a4)).crossJoin(broadcast(est))
+      .select(col("n_seen"), col("n_batch"), col("n_new"),
+        (col("__nbfp") - col("n_new")).as("n_dropped"),
+        col("distinct_updated"),
+        (abs(col("__est") - col("distinct_updated")).cast("double") /
+          col("distinct_updated") <= 0.05).as("sketch_ok"))
+  }
+  private val pipelineIncrementalSql =
+    """WITH seen AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |             WHERE doc_id % 3 <> 0),
+      |donor AS (SELECT doc_id - 1 AS doc_id, text AS dtext
+      |          FROM documents),
+      |batch AS (SELECT b.doc_id,
+      |    md5(CASE WHEN b.doc_id % 15 = 0 AND d.dtext IS NOT NULL
+      |             THEN d.dtext ELSE b.text END) AS fp
+      |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0) b
+      |  LEFT JOIN donor d ON b.doc_id = d.doc_id),
+      |surv AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp),
+      |newdocs AS (SELECT s.doc_id, s.fp FROM surv s
+      |  LEFT JOIN (SELECT DISTINCT fp FROM seen) sf ON s.fp = sf.fp
+      |  WHERE sf.fp IS NULL),
+      |upd AS (SELECT fp FROM seen UNION ALL SELECT fp FROM newdocs)
+      |SELECT (SELECT count(*) FROM seen) AS n_seen,
+      |  (SELECT count(*) FROM batch) AS n_batch,
+      |  (SELECT count(*) FROM newdocs) AS n_new,
+      |  (SELECT count(DISTINCT fp) FROM batch)
+      |    - (SELECT count(*) FROM newdocs) AS n_dropped,
+      |  (SELECT count(DISTINCT fp) FROM upd) AS distinct_updated,
+      |  TRUE AS sketch_ok""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "llm_pipeline_incremental" -> pipelineIncrementalQ,
+    "llm_phrase_search" -> phraseSearchQ,
+    "llm_token_entropy" -> tokenEntropyQ,
     "llm_pipeline_web" -> pipelineWebQ,
     "llm_collocations" -> collocationsQ,
     "llm_keywords" -> keywordsQ,
@@ -521,6 +642,9 @@ object OpsWeb extends Suite {
     "op_interval_join" -> intervalJoinQ)
 
   def oracle: Map[String, String] = Map(
+    "llm_pipeline_incremental" -> pipelineIncrementalSql,
+    "llm_phrase_search" -> phraseSearchSql,
+    "llm_token_entropy" -> tokenEntropySql,
     "llm_pipeline_web" -> pipelineWebSql,
     "llm_collocations" -> collocationsSql,
     "llm_keywords" -> keywordsSql,

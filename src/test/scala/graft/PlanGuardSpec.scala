@@ -91,6 +91,9 @@ class PlanGuardSpec extends SparkSpec {
     "llm_keywords" -> 1,             // 1-row doc-count aggregate (idf N)
     "llm_pack_bestfit" -> 2,         // 1-row bin-load max + FFD-bound
                                      // summary crosses
+    "llm_pipeline_incremental" -> 4, // four broadcast 1-row summary
+                                     // aggregates crossed into the
+                                     // single-row report
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
@@ -207,6 +210,14 @@ class PlanGuardSpec extends SparkSpec {
     // pipeline_web: dedup GroupedTopK k=1 + domain-cap GroupedTopK, each
     // a partial+final pair — the capstone must keep BOTH fused
     "llm_pipeline_web" -> (4, 0, 4, 0),
+    // phrase_search: per-word postings joins, token-filter pushdown
+    // reaches every scan slice
+    "llm_phrase_search" -> (6, 0, 0, 5),
+    // incremental capstone: the cached survivor/updated relations render
+    // under 4 summary consumers (one execution each); GroupedTopK k=1
+    // pairs from the Bloom path's exact dedup
+    "llm_pipeline_incremental" -> (33, 0, 12, 4),
+    "llm_token_entropy" -> (3, 0, 0, 0),
     "llm_collocations" -> (13, 0, 0, 0),
     "llm_keywords" -> (8, 0, 2, 0),
     "llm_pack_bestfit" -> (11, 0, 0, 0))

@@ -162,6 +162,39 @@ class WebSpec extends SparkSpec {
     assert(got == "no tags here")
   }
 
+  test("phraseMatch: aligned-position join counts every occurrence, " +
+    "including overlapping starts") {
+    val docs = Seq(
+      (1L, "the red fox and the red fox"),
+      (2L, "red the red"),
+      (3L, "a a a a"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    def m(phrase: String*) = graft.operators.Curation
+      .phraseMatch(docs, "doc_id", "text", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m("the", "red") == Map(1L -> 2L, 2L -> 1L))
+    assert(m("the", "red", "fox") == Map(1L -> 2L))
+    // overlapping starts all count: "a a" occurs at positions 0,1,2
+    assert(m("a", "a") == Map(3L -> 3L))
+    assert(m("absent").isEmpty)
+  }
+
+  test("tokenEntropy: zero for constant docs, ln(n) for uniform docs") {
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b b c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 4 && got(1L)._2 == 1)
+    assert(math.abs(got(1L)._3) < 1e-12)
+    assert(math.abs(got(2L)._3 - math.log(4)) < 1e-12)
+    // H = -(2/6 ln 2/6 + 3/6 ln 3/6 + 1/6 ln 1/6)
+    val h3 = -(2.0 / 6 * math.log(2.0 / 6) + 3.0 / 6 * math.log(3.0 / 6)
+      + 1.0 / 6 * math.log(1.0 / 6))
+    assert(math.abs(got(3L)._3 - h3) < 1e-12)
+  }
+
   private def bruteOverlap(a: Seq[(Long, Long, Long)],
                            b: Seq[(Long, Long, Long)]) =
     (for {
