@@ -68,7 +68,8 @@ object Bench {
       "llm_html_extract", "op_interval_join", "llm_collocations",
       "llm_keywords", "llm_pack_bestfit", "llm_trustrank",
       "llm_pipeline_web", "llm_hits", "llm_phrase_search",
-      "llm_token_entropy", "llm_pipeline_incremental")
+      "llm_token_entropy", "llm_pipeline_incremental",
+      "events_resample", "llm_length_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

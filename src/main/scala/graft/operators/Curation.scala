@@ -496,6 +496,36 @@ object Curation {
       .limit(k)
   }
 
+  /** Robust per-group outlier detection on the median/MAD scale (the
+    * length/quality trimming pass a curation pipeline runs before
+    * training): med = exact median of `valueCol` within each group,
+    * mad = median absolute deviation, outlier ⇔ |v − med| > k·mad.
+    * Median/MAD instead of mean/σ because corpus length distributions are
+    * heavy-tailed — a single 10 MB document would drag a z-score
+    * threshold past every real outlier.
+    *
+    * Two grouped exact percentiles + two broadcastable per-group joins;
+    * the deviation relation is computed once under the scoped cache. With
+    * integer-valued inputs every med/mad is x.0 or x.5 — binary-exact —
+    * so the k·mad comparison is engine-portable without rounding. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 2.0): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = Dedup.reuse(s"outlier:dev:$groupCol:$valueCol",
+      df.join(med, groupCol)
+        .withColumn("__dev",
+          abs(col(valueCol).cast("double") - col("__med"))))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    dev.join(mad, groupCol)
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("__mad"))
+      .withColumnRenamed("__med", "med")
+      .withColumnRenamed("__mad", "mad")
+      .drop("__dev")
+  }
+
   /** Positional phrase search — the inverted-index formulation of exact
     * phrase matching (the search-infrastructure primitive BM25's
     * bag-of-words scoring cannot express): each phrase word's postings

@@ -154,13 +154,56 @@ object OpsTemporal extends Suite {
       |WHERE o.o_totalprice > 490000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- time-series resampling: forward-fill each user's event value onto a
+  //    regular hourly grid with a 6-hour staleness cap — grid generation
+  //    (map-side sequence explode, no join) + ONE as-of join; the gap cap
+  //    is the asofJoin tolerance. The classic gaps-to-grid downsampling
+  //    every metrics/feature pipeline runs. ------------------------------
+  private val resample: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val evs = t.events.filter(col("user_id") < 10)
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v"))
+    val users = t.events.filter(col("user_id") < 10)
+      .select(col("user_id")).distinct()
+    val grid = users.withColumn("gts", explode(expr(
+      "sequence(timestamp'2024-01-01 00:00:00'," +
+        " timestamp'2024-01-01 23:00:00', interval 1 hour)")))
+    Temporal.asofJoin(grid, evs, Seq("user_id"), "gts", "ts",
+        toleranceUs = Some(6L * usPerHour))
+      // src_ts emitted as epoch-µs: a NULLABLE timestamp column trips the
+      // driver gate's masked ns-vs-µs raw-integer compare (non-null
+      // timestamp columns like gts compare fine)
+      .select(col("user_id"), col("gts"),
+        unix_micros(col("matched_ts")).as("src_us"), col("matched_v").as("v"))
+      .orderBy(col("user_id"), col("gts"))
+  }
+  private val resampleSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    max(value) AS v
+      |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+      |u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+      |g AS (SELECT user_id,
+      |    unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |      TIMESTAMP '2024-01-01 23:00:00', INTERVAL 1 HOUR)) AS gts
+      |  FROM u)
+      |SELECT g.user_id, g.gts,
+      |  CASE WHEN epoch_us(g.gts) - epoch_us(e.ts) <= 21600000000
+      |       THEN epoch_us(e.ts) END AS src_us,
+      |  CASE WHEN epoch_us(g.gts) - epoch_us(e.ts) <= 21600000000
+      |       THEN e.v END AS v
+      |FROM g ASOF LEFT JOIN e
+      |  ON g.user_id = e.user_id AND g.gts >= e.ts
+      |ORDER BY g.user_id, g.gts""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "events_resample" -> resample,
     "op_asof_join" -> asofBackward,
     "op_asof_fwd" -> asofForward,
     "op_asof_tolerance" -> asofTolerance,
     "op_range_join" -> rangeJoin)
 
   def oracle: Map[String, String] = Map(
+    "events_resample" -> resampleSql,
     "op_asof_join" -> asofBackwardSql,
     "op_asof_fwd" -> asofForwardSql,
     "op_asof_tolerance" -> asofToleranceSql,

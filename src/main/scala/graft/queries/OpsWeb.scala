@@ -625,7 +625,38 @@ object OpsWeb extends Suite {
       |  (SELECT count(DISTINCT fp) FROM upd) AS distinct_updated,
       |  TRUE AS sketch_ok""".stripMargin
 
+  // -- robust length outliers: per-source median/MAD trimming of token
+  //    counts at k=2 — integer-valued inputs make every med/mad binary-
+  //    exact (x.0 / x.5), so the k·mad flag is engine-portable. ----------
+  private val lengthOutliersQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val d = t.documents.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    Curation.robustOutliers(d, "source", "n_tok", k = 2.0)
+      .filter(col("is_outlier"))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        col("med"), col("mad"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  private val lengthOutliersSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |m AS (SELECT source, quantile_cont(n_tok, 0.5) AS med
+      |      FROM d GROUP BY source),
+      |dev AS (SELECT d.doc_id, d.source, d.n_tok, m.med,
+      |        abs(n_tok - med) AS dv
+      |        FROM d JOIN m USING (source)),
+      |md AS (SELECT source, quantile_cont(dv, 0.5) AS mad
+      |       FROM dev GROUP BY source)
+      |SELECT dev.source, doc_id, n_tok, med, mad
+      |FROM dev JOIN md USING (source)
+      |WHERE dv > 2 * mad
+      |ORDER BY dev.source, doc_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "llm_length_outliers" -> lengthOutliersQ,
     "llm_pipeline_incremental" -> pipelineIncrementalQ,
     "llm_phrase_search" -> phraseSearchQ,
     "llm_token_entropy" -> tokenEntropyQ,
@@ -642,6 +673,7 @@ object OpsWeb extends Suite {
     "op_interval_join" -> intervalJoinQ)
 
   def oracle: Map[String, String] = Map(
+    "llm_length_outliers" -> lengthOutliersSql,
     "llm_pipeline_incremental" -> pipelineIncrementalSql,
     "llm_phrase_search" -> phraseSearchSql,
     "llm_token_entropy" -> tokenEntropySql,

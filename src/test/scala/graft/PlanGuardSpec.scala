@@ -213,6 +213,10 @@ class PlanGuardSpec extends SparkSpec {
     // phrase_search: per-word postings joins, token-filter pushdown
     // reaches every scan slice
     "llm_phrase_search" -> (6, 0, 0, 5),
+    // resample: one as-of union-window join; outliers: two grouped exact
+    // percentiles over the cached deviation relation
+    "events_resample" -> (4, 0, 0, 2),
+    "llm_length_outliers" -> (7, 0, 0, 4),
     // incremental capstone: the cached survivor/updated relations render
     // under 4 summary consumers (one execution each); GroupedTopK k=1
     // pairs from the Bloom path's exact dedup

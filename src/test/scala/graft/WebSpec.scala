@@ -195,6 +195,21 @@ class WebSpec extends SparkSpec {
     assert(math.abs(got(3L)._3 - h3) < 1e-12)
   }
 
+  test("robustOutliers: median/MAD flags, zero-MAD group flags any " +
+    "deviation") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 11L), ("a", 3L, 12L), ("a", 4L, 13L),
+      ("a", 5L, 100L), // the obvious outlier
+      ("b", 6L, 7L), ("b", 7L, 7L), ("b", 8L, 7L), ("b", 9L, 9L))
+      .toDF("g", "id", "v")
+    val got = graft.operators.Curation.robustOutliers(df, "g", "v", 2.0)
+      .select("id", "is_outlier")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // group a: med=12, devs {2,1,0,1,88}, mad=1 -> only 100 flagged
+    assert(got.filter(_._2).keySet == Set(5L, 9L))
+    // group b: med=7, devs {0,0,0,2}, mad=0 -> the 9 is flagged (dev>0)
+  }
+
   private def bruteOverlap(a: Seq[(Long, Long, Long)],
                            b: Seq[(Long, Long, Long)]) =
     (for {
