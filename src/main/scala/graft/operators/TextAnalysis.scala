@@ -13,8 +13,13 @@ object TextAnalysis {
   /** Whitespace tokens of a trimmed document. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Whitespace token count — the native single-pass byte-scan kernel
+    * (`expressions/WordCount`), value-identical to `size(tokens(c))`
+    * (WordCountSpec fuzz-proves the equality) without the regex NFA or
+    * the per-token array allocation. Counting is the battery's hot path;
+    * the array form remains `tokens` for operators that need the tokens
+    * themselves. */
+  def tokenCount(c: Column): Column = graft.expressions.WordCount(c)
 
   /** BPE-ish token count: GPT-2-style pre-tokenizer regex (contractions,
     * letter runs, digit runs, punctuation runs, whitespace runs) — a cheap,
