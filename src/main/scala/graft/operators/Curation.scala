@@ -496,6 +496,41 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-group corpus drift: KL(P_g ‖ Q) of each group's unigram
+    * distribution against the corpus-wide distribution — the
+    * domain-shift/source-skew dashboard metric (a source whose language
+    * diverges from the pool surfaces with a large KL before any model
+    * sees it). Every group term exists in the corpus by construction, so
+    * no smoothing is needed and the sum is exact:
+    *
+    *   KL(P_g ‖ Q) = Σ_w (c_gw/T_g) · ln( (c_gw/T_g) / (C_w/T) )
+    *
+    * One token scan collapses to the (group, term, count) table (scoped-
+    * cached — three aggregates consume it); per-term corpus counts,
+    * per-group totals, and the 1-row corpus total are grouped sums of it.
+    * Returns (`groupCol`, n_tokens, n_terms, kl); round on emit. */
+  def corpusDivergence(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val gc = Dedup.reuse(s"kl:gc:$groupCol:$textCol",
+      df.select(col(groupCol),
+          explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c")))
+    val termTot = gc.groupBy(col("w")).agg(sum(col("c")).as("ctot"))
+    val grpTot = gc.groupBy(col(groupCol)).agg(sum(col("c")).as("tg"),
+      count(lit(1)).as("n_terms"))
+    val corpusTot = gc.agg(sum(col("c")).as("tt"))
+    gc.join(termTot, "w")
+      .join(grpTot, groupCol)
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col(groupCol))
+      .agg(first(col("tg")).as("n_tokens"),
+        first(col("n_terms")).as("n_terms"),
+        sum((col("c") / col("tg")) *
+          log((col("c") / col("tg")) / (col("ctot") / col("tt"))))
+          .as("kl"))
+  }
+
   /** Robust per-group outlier detection on the median/MAD scale (the
     * length/quality trimming pass a curation pipeline runs before
     * training): med = exact median of `valueCol` within each group,

@@ -145,6 +145,17 @@ object TextAnalysis {
     regexp_replace(noTrack, "/$", "")
   }
 
+  /** Mojibake repair — the ftfy-style fix for the single most common
+    * encoding corruption in web crawls: UTF-8 bytes decoded as Latin-1
+    * ("café" → "cafÃ©"). Native expression (`expressions/MojibakeRepair`)
+    * because the guard is inexpressible with built-ins: Spark 4's
+    * `decode` THROWS on invalid bytes, so genuine Latin-1 text would
+    * kill the job instead of passing through. The kernel re-encodes the
+    * Latin-1 image and strictly validates UTF-8; anything that fails
+    * passes through byte-identical. Codegen'd, zero shuffle. */
+  def fixMojibake(c: Column): Column =
+    graft.expressions.MojibakeRepair(c)
+
   /** Registrable host for per-domain policies (domain capping, blocklists,
     * per-site quotas — the C4/RefinedWeb curation knobs): the URL's host,
     * lowercased, port stripped, one leading "www." folded. Pure regexp

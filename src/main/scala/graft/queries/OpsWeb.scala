@@ -655,7 +655,60 @@ object OpsWeb extends Suite {
       |WHERE dv > 2 * mad
       |ORDER BY dev.source, doc_id""".stripMargin
 
+  // -- corpus drift: per-source unigram KL against the corpus pool — the
+  //    domain-shift dashboard; no smoothing needed (every group term is a
+  //    corpus term), round(6) absorbs summation order. ------------------
+  private val corpusKlQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Curation.corpusDivergence(t.documents, "source", "text")
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(col("kl"), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+  private val corpusKlSql =
+    """WITH g AS (SELECT source, w, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY source, w),
+      |ct AS (SELECT w, CAST(sum(c) AS BIGINT) AS ctot FROM g GROUP BY w),
+      |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tg,
+      |         count(*) AS n_terms
+      |       FROM g GROUP BY source),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM g),
+      |k AS (SELECT g.source,
+      |        sum((c / tg) * ln((c / tg) / (ctot / tt))) AS kl
+      |      FROM g JOIN ct USING (w) JOIN gt USING (source) CROSS JOIN tt
+      |      GROUP BY g.source)
+      |SELECT gt.source, tg AS n_tokens, n_terms, round(kl, 6) AS kl
+      |FROM gt JOIN k USING (source) ORDER BY gt.source""".stripMargin
+
+  // -- mojibake repair: every third doc carries a PLANTED UTF-8→Latin-1
+  //    corruption built by the engine's own encode/decode round trip; the
+  //    guarded repair must restore exactly the original (the oracle
+  //    states the known image — construction arithmetic) and must leave
+  //    clean docs byte-identical. ---------------------------------------
+  private val mojibakeQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val moji = decode(encode(lit("café naïve — ok"), "UTF-8"), "ISO-8859-1")
+    val dirty = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(substring(col("text"), 1, 20), lit(" "), moji))
+      .otherwise(substring(col("text"), 1, 20))
+    t.documents.select(col("doc_id"),
+        TextAnalysis.fixMojibake(dirty).as("fixed"),
+        (TextAnalysis.fixMojibake(dirty) =!= dirty).as("was_repaired"))
+      .orderBy(col("doc_id"))
+  }
+  private val mojibakeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN substr(text, 1, 20) || ' café naïve — ok'
+      |       ELSE substr(text, 1, 20) END AS fixed,
+      |  doc_id % 3 = 0 AS was_repaired
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "llm_corpus_kl" -> corpusKlQ,
+    "llm_mojibake" -> mojibakeQ,
     "llm_length_outliers" -> lengthOutliersQ,
     "llm_pipeline_incremental" -> pipelineIncrementalQ,
     "llm_phrase_search" -> phraseSearchQ,
@@ -673,6 +726,8 @@ object OpsWeb extends Suite {
     "op_interval_join" -> intervalJoinQ)
 
   def oracle: Map[String, String] = Map(
+    "llm_corpus_kl" -> corpusKlSql,
+    "llm_mojibake" -> mojibakeSql,
     "llm_length_outliers" -> lengthOutliersSql,
     "llm_pipeline_incremental" -> pipelineIncrementalSql,
     "llm_phrase_search" -> phraseSearchSql,

@@ -94,6 +94,7 @@ class PlanGuardSpec extends SparkSpec {
     "llm_pipeline_incremental" -> 4, // four broadcast 1-row summary
                                      // aggregates crossed into the
                                      // single-row report
+    "llm_corpus_kl" -> 1,            // 1-row corpus-total aggregate
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
@@ -217,6 +218,8 @@ class PlanGuardSpec extends SparkSpec {
     // percentiles over the cached deviation relation
     "events_resample" -> (4, 0, 0, 2),
     "llm_length_outliers" -> (7, 0, 0, 4),
+    "llm_corpus_kl" -> (12, 0, 0, 0),
+    "llm_mojibake" -> (1, 0, 0, 0),
     // incremental capstone: the cached survivor/updated relations render
     // under 4 summary consumers (one execution each); GroupedTopK k=1
     // pairs from the Bloom path's exact dedup

@@ -210,6 +210,39 @@ class WebSpec extends SparkSpec {
     // group b: med=7, devs {0,0,0,2}, mad=0 -> the 9 is flagged (dev>0)
   }
 
+  test("corpusDivergence: zero for a group matching the pool, positive " +
+    "for a skewed one") {
+    // groups a and b have identical distributions; c is skewed
+    val docs = Seq(("a", "x y"), ("a", "x y"), ("b", "x y"), ("b", "y x"),
+      ("c", "z z z z")).toDF("g", "text")
+    val got = graft.operators.Curation.corpusDivergence(docs, "g", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(got("a")._1 == 4 && got("c")._1 == 4)
+    // hand: T=12, C_x=C_y=4, C_z=4. group a: P(x)=P(y)=.5, Q=1/3 each
+    val klA = 2 * (0.5 * math.log(0.5 / (4.0 / 12)))
+    assert(math.abs(got("a")._2 - klA) < 1e-9)
+    assert(got("a")._2 == got("b")._2)
+    val klC = 1.0 * math.log(1.0 / (4.0 / 12))
+    assert(math.abs(got("c")._2 - klC) < 1e-9)
+  }
+
+  test("fixMojibake: repairs the UTF-8-as-Latin-1 round trip, leaves " +
+    "clean text and false positives untouched") {
+    val clean = "plain ascii text"
+    val orig = "café naïve — déjà"
+    val moji = new String(orig.getBytes("UTF-8"), "ISO-8859-1")
+    // carries the Ã signature but re-encoding is NOT valid UTF-8 -> the
+    // FFFD guard must refuse the repair
+    val falsePos = "Ã nothing else"
+    val got = Seq(clean, moji, falsePos).toDF("s")
+      .select(graft.operators.TextAnalysis.fixMojibake(col("s")))
+      .as[String].collect()
+    assert(got(0) == clean)
+    assert(got(1) == orig)
+    assert(got(2) == falsePos)
+  }
+
   private def bruteOverlap(a: Seq[(Long, Long, Long)],
                            b: Seq[(Long, Long, Long)]) =
     (for {
