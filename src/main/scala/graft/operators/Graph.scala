@@ -161,23 +161,27 @@ object Graph {
     var auth = ids.withColumn("__s", lit(1.0 / n)).localCheckpoint()
     var hub = auth
     for (_ <- 1 to iters) {
+      // checkpoint the RAW contribution table, then derive both the
+      // normalizer and the normalized vector from the checkpoint — the
+      // heavy edge join executes exactly once per half-step (computing
+      // the total first and checkpointing after would run it twice)
       val aRaw = e.join(hub, e("__src") === hub(idCol))
         .groupBy(col("__dst").as(idCol)).agg(sum(col("__s")).as("__raw"))
+        .localCheckpoint()
       val aTot = aRaw.agg(coalesce(sum(col("__raw")), lit(0.0)))
         .head.getDouble(0)
       require(aTot > 0, "hits: no edge connects two member nodes")
       auth = ids.join(aRaw, Seq(idCol), "left")
         .select(col(idCol),
           (coalesce(col("__raw"), lit(0.0)) / lit(aTot)).as("__s"))
-        .localCheckpoint()
       val hRaw = e.join(auth, e("__dst") === auth(idCol))
         .groupBy(col("__src").as(idCol)).agg(sum(col("__s")).as("__raw"))
+        .localCheckpoint()
       val hTot = hRaw.agg(coalesce(sum(col("__raw")), lit(0.0)))
         .head.getDouble(0)
       hub = ids.join(hRaw, Seq(idCol), "left")
         .select(col(idCol),
           (coalesce(col("__raw"), lit(0.0)) / lit(hTot)).as("__s"))
-        .localCheckpoint()
     }
     auth.select(col(idCol), col("__s").as("authority"))
       .join(hub.select(col(idCol), col("__s").as("hub")), Seq(idCol))

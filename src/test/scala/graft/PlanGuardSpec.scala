@@ -195,10 +195,12 @@ class PlanGuardSpec extends SparkSpec {
     // bucket equi-join, both scans with pushed slice filters.
     "llm_pagerank" -> (3, 0, 0, 0),
     "llm_trustrank" -> (3, 0, 0, 0),
-    // hits: the 1 static SMJ is authority ⋈ hub — two checkpointed
-    // node-scale score vectors co-partitioned on the id; the right plan
-    // at any scale (AQE broadcasts it at gate SF anyway)
-    "llm_hits" -> (5, 1, 0, 0),
+    // hits: the final half-step's normalized vectors stay LAZY over their
+    // checkpointed raw-contribution tables (the heavy edge join runs once
+    // per half-step), so the emitted plan carries the last ids⋈raw joins
+    // + the authority ⋈ hub fuse — node-scale SMJs co-partitioned on the
+    // id, the right plan at any scale (AQE broadcasts them at gate SF)
+    "llm_hits" -> (7, 3, 0, 2),
     "llm_link_stats" -> (29, 0, 0, 6),
     "llm_domain_cap" -> (2, 0, 2, 0),
     "llm_html_extract" -> (1, 0, 0, 0),
