@@ -188,4 +188,63 @@ class PathologicalSpec extends SparkSpec {
     assert(driver(supp) == e000 && driver(e000) == e000)
     assert(driver("b") == "a")
   }
+
+  test("pathological repetition: phraseMatch on a 50k-token single-word " +
+    "doc stays linear in the postings and counts every overlapping start") {
+    val doc = Seq((1L, Seq.fill(50000)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .phraseMatch(doc, "doc_id", "text", Seq("a", "a"))
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 49999L)
+  }
+
+  test("hub-and-spoke graph: pageRank on a 20k-node star (every node -> " +
+    "one hub) concentrates rank without skew failure, mass conserved") {
+    val nodes = spark.range(20000L).toDF("id")
+    val edges = spark.range(1L, 20000L)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val ranks = graft.operators.Graph
+      .pageRank(nodes, edges, "id", "src", "dst", iters = 3)
+    val r = ranks.agg(sum(col("rank")), max(col("rank"))).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-6, "mass conserved")
+    val hub = ranks.filter(col("id") === 0L).head.getDouble(1)
+    assert(hub == r.getDouble(1) && hub > 0.5,
+      "the hot aggregation key IS the top-ranked node")
+  }
+
+  test("degenerate packing inputs: all items at capacity -> one bin " +
+    "each; all items of size 1 -> near-perfect fill") {
+    val cap = 128L
+    val atCap = spark.range(500L).select(col("id"), lit(cap).as("len"))
+    val packedCap = graft.operators.Scale
+      .packBestFit(atCap, "id", "len", cap, buckets = 8)
+    assert(packedCap.select(col("bin_id")).distinct().count() == 500L)
+    val ones = spark.range(10000L).select(col("id"), lit(1L).as("len"))
+    val packedOnes = graft.operators.Scale
+      .packBestFit(ones, "id", "len", cap, buckets = 8)
+    val loads = packedOnes.groupBy(col("bin_id"))
+      .agg(sum(col("len")).as("load")).collect().map(_.getLong(1))
+    assert(loads.forall(_ <= cap))
+    // per bucket at most one partially-filled bin -> <= buckets slack
+    assert(loads.length <= (10000L / cap).toInt + 8)
+  }
+
+  test("single dominating bigram: collocations under a hot key stay " +
+    "correct (map-side combine, no skew failure) and rank the dominating " +
+    "pair LOW on PMI") {
+    // 2k docs of "x y x y ..." plus a handful of rare-pair docs
+    val hot = (1L to 2000L).map(i => (i, Seq.fill(50)("x y").mkString(" ")))
+    val rare = Seq((9001L, "alpha beta"), (9002L, "alpha beta"),
+      (9003L, "alpha beta"), (9004L, "alpha beta"), (9005L, "alpha beta"))
+    val docs = (hot ++ rare).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .collocations(docs, "doc_id", "text", minCount = 5, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    // the rare-but-exclusive pair carries the highest PMI; the dominating
+    // (x,y) pair rides its own unigram frequencies and ranks below it
+    assert(got.head._1 == "alpha" && got.head._2 == "beta")
+    val xy = got.find(t => t._1 == "x" && t._2 == "y")
+    assert(xy.isDefined && xy.get._3 < got.head._3)
+  }
 }
