@@ -124,6 +124,85 @@ object Temporal {
       .select((by ++ leftPayload ++ Seq(tsLeft) ++ matched).map(col): _*)
   }
 
+  /** As-of join, direction "nearest" (the pandas `merge_asof` third
+    * direction): each left row matches the right row minimizing
+    * |tsLeft − tsRight| within the `by` key, ties to the BACKWARD
+    * (at-or-before) side — pandas' tie rule. Same contract and matched_*
+    * output shape as [[asofJoin]].
+    *
+    * One shuffle of left ∪ right on `by`, then TWO ordered window passes
+    * over the same partitioning (ascending for the most recent
+    * at-or-before candidate, descending for the earliest at-or-after) —
+    * Spark plans a single exchange with a re-sort between the Window
+    * nodes, and WindowExec's external sorter spills, so unbounded
+    * partitions stay safe. `toleranceUs` caps the winning gap. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, by: Seq[String],
+                      tsLeft: String, tsRight: String,
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    val leftPayload =
+      left.columns.filterNot(c => by.contains(c) || c == tsLeft).toSeq
+    val rightPayload =
+      right.columns.filterNot(c => by.contains(c) || c == tsRight).toSeq
+    val matched = (rightPayload :+ tsRight).map(c => s"matched_$c")
+    require(!leftPayload.exists(matched.contains),
+      s"left columns collide with matched_* output names: $matched")
+
+    val tsType = left.schema(tsLeft).dataType
+    val lSide = left.select(
+      by.map(col) ++
+        Seq(col(tsLeft).cast(tsType).as("__ts"), lit(1).as("__tag")) ++
+        leftPayload.map(col) ++
+        rightPayload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"matched_$c")) :+
+        lit(null).cast(right.schema(tsRight).dataType)
+          .as(s"matched_$tsRight"): _*)
+    val rSide = right.select(
+      by.map(col) ++
+        Seq(col(tsRight).cast(tsType).as("__ts"), lit(0).as("__tag")) ++
+        leftPayload.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"matched_$c")) :+
+        col(tsRight).as(s"matched_$tsRight"): _*)
+
+    val wB = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__ts").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val both = matched.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
+      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wF))
+    }
+    def asLong(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+    val bts = col(s"__b_matched_$tsRight")
+    val fts = col(s"__f_matched_$tsRight")
+    val gapB = asLong(col("__ts")) - asLong(bts)
+    val gapF = asLong(fts) - asLong(col("__ts"))
+    val inTol = (g: Column) =>
+      toleranceUs.map(t => g <= t).getOrElse(lit(true))
+    // true → take the backward candidate; pandas ties go backward
+    val pickB = bts.isNotNull && inTol(gapB) &&
+      (fts.isNull || !inTol(gapF) || gapB <= gapF)
+    val pickF = fts.isNotNull && inTol(gapF) && !pickB
+    val chosen = matched.foldLeft(both) { (df, c) =>
+      df.withColumn(c,
+        when(pickB, col(s"__b_$c"))
+          .when(pickF, col(s"__f_$c"))
+          .otherwise(lit(null).cast(df.schema(s"__b_$c").dataType)))
+    }
+    chosen
+      .filter(col("__tag") === 1)
+      .withColumnRenamed("__ts", tsLeft)
+      .select((by ++ leftPayload ++ Seq(tsLeft) ++ matched).map(col): _*)
+  }
+
   /** Point-in-interval join via overlap binning. `pointExpr`, `startExpr`,
     * `endExpr` must evaluate to non-negative longs in a shared unit (epoch
     * days / seconds / µs); intervals are half-open [start, end), empty ones

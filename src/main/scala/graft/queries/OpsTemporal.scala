@@ -116,6 +116,54 @@ object OpsTemporal extends Suite {
       |WHERE epoch_us(l.ts) - epoch_us(p.pts) <= 3600000000
       |ORDER BY l.event_id""".stripMargin
 
+  // -- as-of nearest (the pandas merge_asof third direction): each look
+  //    matches the purchase minimizing |Δt|, ties to the backward side.
+  //    The oracle composes DuckDB's two native ASOF directions and picks
+  //    the nearer — an independent formulation of the same semantics. ----
+  private val asofNearest: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+      .groupBy(col("user_id"), col("pts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val looks = t.events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Temporal.asofJoinNearest(looks, purchases, Seq("user_id"), "ts", "pts")
+      .filter(col("matched_pts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_pts").as("purchase_ts"),
+        col("matched_purchase_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+  private val asofNearestSql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |b AS (SELECT l.event_id, l.user_id, l.ts, p.pts AS bts, p.pv AS bv
+      |      FROM l ASOF LEFT JOIN p
+      |        ON l.user_id = p.user_id AND l.ts >= p.pts),
+      |f AS (SELECT l.event_id, p.pts AS fts, p.pv AS fv
+      |      FROM l ASOF LEFT JOIN p
+      |        ON l.user_id = p.user_id AND l.ts <= p.pts),
+      |c AS (SELECT b.event_id, b.user_id, b.ts,
+      |    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+      |        epoch_us(b.ts) - epoch_us(bts)
+      |          <= epoch_us(fts) - epoch_us(b.ts))
+      |      THEN bts ELSE fts END AS mts,
+      |    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+      |        epoch_us(b.ts) - epoch_us(bts)
+      |          <= epoch_us(fts) - epoch_us(b.ts))
+      |      THEN bv ELSE fv END AS mv
+      |  FROM b JOIN f USING (event_id))
+      |SELECT event_id, user_id, ts, mts AS purchase_ts,
+      |  mv AS purchase_value
+      |FROM c WHERE mts IS NOT NULL ORDER BY event_id""".stripMargin
+
   // -- range join: shipments falling inside the 14-day window after a
   //    top-price order's date (a pure inequality join — no equi key at
   //    all). Threshold and window are calibrated so the TRUE result stays
@@ -197,6 +245,7 @@ object OpsTemporal extends Suite {
 
   def defs: Map[String, Q] = Map(
     "events_resample" -> resample,
+    "op_asof_nearest" -> asofNearest,
     "op_asof_join" -> asofBackward,
     "op_asof_fwd" -> asofForward,
     "op_asof_tolerance" -> asofTolerance,
@@ -204,6 +253,7 @@ object OpsTemporal extends Suite {
 
   def oracle: Map[String, String] = Map(
     "events_resample" -> resampleSql,
+    "op_asof_nearest" -> asofNearestSql,
     "op_asof_join" -> asofBackwardSql,
     "op_asof_fwd" -> asofForwardSql,
     "op_asof_tolerance" -> asofToleranceSql,

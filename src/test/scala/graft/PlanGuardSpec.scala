@@ -219,6 +219,7 @@ class PlanGuardSpec extends SparkSpec {
     // resample: one as-of union-window join; outliers: two grouped exact
     // percentiles over the cached deviation relation
     "events_resample" -> (4, 0, 0, 2),
+    "op_asof_nearest" -> (3, 0, 0, 2),
     "llm_length_outliers" -> (7, 0, 0, 4),
     "llm_corpus_kl" -> (12, 0, 0, 0),
     "llm_mojibake" -> (1, 0, 0, 0),

@@ -20,6 +20,48 @@ class TemporalSpec extends SparkSpec {
     ("b", 60L, 4.0), ("b", 400L, 5.0)
   ).toDF("k", "rt", "v")
 
+  test("asofJoinNearest: minimal |gap| per key, ties to backward, " +
+    "tolerance caps the winning gap") {
+    def run(tol: Option[Long]) =
+      Temporal.asofJoinNearest(left, right, Seq("k"), "t", "rt", tol)
+        .select("id", "matched_rt")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // hand: 100→100 (exact), 205→200 (5 vs 105), 300→310 (10 vs 100),
+    // 50→60 (forward only), 500→400, key c → null
+    assert(run(None) == Map(1L -> 100L, 2L -> 200L, 3L -> 310L,
+      4L -> 60L, 5L -> 400L, 6L -> null))
+    // tolerance 5: only the exact and the gap-5 matches survive
+    assert(run(Some(5L)) == Map(1L -> 100L, 2L -> 200L, 3L -> null,
+      4L -> null, 5L -> null, 6L -> null))
+    // brute force on a fuzzed set: nearest with backward ties
+    val rnd = new scala.util.Random(11)
+    val fl = (1L to 300L).map(i => (i, s"k${rnd.nextInt(5)}",
+      rnd.nextInt(1000).toLong)).toDF("id", "k", "t")
+    val fr = (1L to 200L).map(i => (s"k${rnd.nextInt(6)}",
+      rnd.nextInt(1000).toLong, i.toDouble))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      .toDF("k", "rt", "v")
+    val got = Temporal.asofJoinNearest(fl, fr, Seq("k"), "t", "rt")
+      .select("id", "matched_rt").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    val rightRows = fr.collect().map(r => (r.getString(0), r.getLong(1)))
+    val leftRows = fl.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    leftRows.foreach { case (id, k, t) =>
+      val cands = rightRows.filter(_._1 == k).map(_._2)
+      val want = if (cands.isEmpty) None
+        else {
+          val minGap = cands.map(rt => math.abs(rt - t)).min
+          val tied = cands.filter(rt => math.abs(rt - t) == minGap)
+          Some(if (tied.exists(_ <= t)) tied.filter(_ <= t).max
+               else tied.min)
+        }
+      assert(got(id) == want, s"row $id key $k t $t")
+    }
+  }
+
   test("asofJoin backward matches brute-force most-recent-at-or-before") {
     val got = Temporal.asofJoin(left, right, Seq("k"), "t", "rt")
       .select("id", "matched_rt", "matched_v")
