@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: the full TPC-H-shaped suite (the reference's published
-    * workload) plus the heaviest LLM-pipeline operators. */
-  private val headline: Seq[String] =
+    * workload) plus the heaviest LLM-pipeline operators. private[graft]:
+    * SparkEntrySpec asserts every name resolves — a typo here would
+    * otherwise silently drop the query from the measurement. */
+  private[graft] val headline: Seq[String] =
     (1 to 22).map(i => s"tpch_q$i") ++ Seq(
       "llm_text_stats", "llm_fingerprint_groups", "llm_dedup_exact",
       "llm_dedup_ngram", "llm_dedup_minhash", "llm_dedup_simhash",

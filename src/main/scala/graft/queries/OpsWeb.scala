@@ -4,14 +4,18 @@ import graft.Tables
 import graft.operators.{Curation, Graph, Scale, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
-/** Web-pipeline and text-mining operators (round 6): link-graph analytics
-  * (PageRank centrality + per-page degree stats — the crawl-quality
-  * priors), the crawl→text WET extraction step, C4/RefinedWeb-style
-  * per-domain capping, the interval-overlap join, PMI collocation mining,
-  * per-document TF-IDF keywords, and best-fit-decreasing sequence
-  * packing. Link graphs are synthesized deterministically from doc_id
-  * arithmetic (the construction-arithmetic oracle method used by the
-  * media and PII suites) so every query has an exact DuckDB twin.
+/** Web-pipeline and text-mining operators (round 6): link-graph
+  * analytics (PageRank / seeded TrustRank / HITS + per-page degree
+  * stats — the crawl-quality priors), the crawl→text WET extraction
+  * step, C4/RefinedWeb-style per-domain capping, the interval-overlap
+  * join, PMI collocation mining, per-document TF-IDF keywords, best-fit
+  * sequence packing, positional phrase search, token entropy, corpus KL
+  * drift, median/MAD length outliers, mojibake repair, and two
+  * capstones (end-to-end web curation; incremental ingestion with Bloom
+  * dedup + HLL audit). Link graphs are synthesized deterministically
+  * from doc_id arithmetic (the construction-arithmetic oracle method
+  * used by the media and PII suites) so every query has an exact DuckDB
+  * twin.
   */
 object OpsWeb extends Suite {
 

@@ -21,6 +21,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every bench headline name resolves to a query") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"bench names without a query: $missing")
+    val dupes = Bench.headline.groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate bench names: $dupes")
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
