@@ -149,18 +149,37 @@ object Bench {
         name -> (if (times.forall(_ >= 0)) (times.min, passes) else (-1.0, passes))
       }
     }
-    // The driver captures only a bounded stdout TAIL; round-5's line (full
-    // 9-decimal doubles plus a per-query passes map) overflowed it and the
-    // artifact landed with parsed:null. Keep the contract line COMPACT:
-    // 3-decimal seconds, and the passes map collapsed to a single int when
-    // uniform (it always is unless a query failed). Full-fidelity results go
-    // to target/bench_full.json for local diagnosis.
+    // The driver captures only the LAST 2000 bytes of stdout (measured from
+    // the BENCH_r05 artifact), and the sbt success trailer after this line
+    // eats ~70 of them. Round-5's full-fidelity line overflowed that budget
+    // and the artifact landed with parsed:null; at 117 headline queries a
+    // complete per-query map (~2.9 KB) would again. Keep the line under the
+    // budget deterministically: every TPC-H query individually (the
+    // BASELINE.md comparison set), then the heaviest remaining queries in
+    // descending time until the map nears the byte budget, and the cheap
+    // tail aggregated as others_sec/others_n. Full-fidelity results go to
+    // target/bench_full.json (and the committed BENCH_LOCAL artifacts).
     // Locale.ROOT: the f"" interpolator uses the JVM default locale — a
     // comma-decimal locale would emit invalid JSON on the contract line
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
+    val qs = {
+      val (tpch, rest) = results.partition(_._1.startsWith("tpch_"))
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      tpch.foreach { case (k, (v, _)) =>
+        entries += "\"" + k + "\":" + s3(v) }
+      var bytes = entries.map(_.length + 1).sum
+      var others = 0
+      var othersSec = 0.0
+      rest.sortBy { case (_, (v, _)) => -v }.foreach { case (k, (v, _)) =>
+        val e = "\"" + k + "\":" + s3(v)
+        if (bytes + e.length + 1 <= 1350) { entries += e; bytes += e.length + 1 }
+        else { others += 1; othersSec += math.max(v, 0.0) }
+      }
+      entries += "\"others_sec\":" + s3(othersSec)
+      entries += "\"others_n\":" + others
+      entries.mkString("{", ",", "}")
+    }
     // stable shape: "passes" is ALWAYS the single int (the minimum), with
     // the per-query map added only when counts diverge — parsers written
     // against the common case keep working on the runs that matter most
