@@ -298,4 +298,19 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming incremental distinct counting on mergeable HLL sketch
+    * state — the continuous form of the batch `llm_distinct_sketch`
+    * contract (yesterday's sketches merge with today's without
+    * rescanning): per group the state store holds ONE fixed-size HLL
+    * buffer forever, no watermark needed, and register-wise max merging
+    * is order-independent so the streaming estimate equals the batch
+    * sketch over the same rows at every micro-batch boundary
+    * (StreamingSpec asserts exact equality). Complete-mode output: each
+    * trigger emits the current per-group estimate. */
+  def distinctSketch(rows: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame =
+    rows.groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol))")
+        .as("distinct_est"))
 }

@@ -365,4 +365,39 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming HLL distinct sketch equals the batch sketch at every " +
+    "micro-batch boundary — order-independent mergeable state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamOps.distinctSketch(
+      in.toDF.toDF("src", "fp"), "src", "fp")
+    val qname = "stream_hll_" + System.nanoTime()
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    def batchEst(rows: Seq[(String, String)]) = rows.toDF("src", "fp")
+      .groupBy(col("src"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(fp))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def streamEst() = spark.table(qname)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      val b1 = (1 to 200).map(i => ("a", s"f${i % 120}")) ++
+        (1 to 50).map(i => ("b", s"g$i"))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamEst() == batchEst(b1))
+      // batch 2 re-sends half of batch 1 (cross-batch dedup counting) and
+      // adds new values — the carried sketch must absorb both exactly as
+      // a single batch pass over the union would
+      val b2 = (1 to 100).map(i => ("a", s"f${i % 120}")) ++
+        (1 to 80).map(i => ("b", s"g${i + 25}")) :+ ("c", "h1")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamEst() == batchEst(b1 ++ b2))
+    } finally q.stop()
+  }
 }
