@@ -89,6 +89,32 @@ object OpsSql extends Suite {
       |GROUP BY n_nationkey
       |ORDER BY n_nationkey""".stripMargin
 
+  // Value-based RANGE frame offsets (distinct from the UNBOUNDED range in
+  // sql_filter_frame: the frame is keyed on the ORDER BY VALUE, not row
+  // position — rows with keys within ±offset join the frame).
+  private val sqlRangeValueFrame =
+    """SELECT s_suppkey,
+      |  round(sum(s_acctbal) OVER (
+      |    PARTITION BY s_nationkey ORDER BY s_suppkey
+      |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS bal_back,
+      |  CAST(count(*) OVER (
+      |    PARTITION BY s_nationkey ORDER BY s_suppkey
+      |    RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS BIGINT)
+      |    AS n_near
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Named-window (WINDOW clause) reuse across multiple functions.
+  private val sqlNamedWindow =
+    """SELECT s_suppkey,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  round(s_acctbal - first_value(s_acctbal) OVER w, 2) AS gap_to_top
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey
+      |             ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_suppkey""".stripMargin
+
   private def q(sql: String): Q = (s, dir) => {
     Tables(s, dir).registerAll()
     s.sql(sql)
@@ -103,7 +129,9 @@ object OpsSql extends Suite {
     "sql_recursive_cte" -> sqlRecursiveCte,
     "sql_lateral" -> sqlLateral,
     "sql_set_all" -> sqlSetAll,
-    "sql_filter_frame" -> sqlFilterFrame)
+    "sql_filter_frame" -> sqlFilterFrame,
+    "sql_range_value_frame" -> sqlRangeValueFrame,
+    "sql_named_window" -> sqlNamedWindow)
 
   def defs: Map[String, Q] = all.map { case (k, sql) => k -> q(sql) }
   def oracle: Map[String, String] = all

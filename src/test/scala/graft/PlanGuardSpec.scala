@@ -220,6 +220,8 @@ class PlanGuardSpec extends SparkSpec {
     // percentiles over the cached deviation relation
     "events_resample" -> (4, 0, 0, 2),
     "op_asof_nearest" -> (3, 0, 0, 2),
+    "sql_range_value_frame" -> (2, 0, 0, 0),
+    "sql_named_window" -> (2, 0, 0, 0),
     "llm_length_outliers" -> (7, 0, 0, 4),
     "llm_corpus_kl" -> (12, 0, 0, 0),
     "llm_mojibake" -> (1, 0, 0, 0),
