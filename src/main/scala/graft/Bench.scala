@@ -72,7 +72,7 @@ object Bench {
       "llm_pipeline_web", "llm_hits", "llm_phrase_search",
       "llm_token_entropy", "llm_pipeline_incremental",
       "events_resample", "llm_length_outliers", "llm_corpus_kl",
-      "llm_mojibake", "op_asof_nearest")
+      "llm_mojibake", "op_asof_nearest", "llm_semantic_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -694,4 +694,37 @@ object Similarity {
     graft.plans.GroupedTopK(scored, Seq("query_id"),
       Seq(col("adc_score").desc, col(idCol).asc), k)
   }
+
+  /** Semantic decontamination — the EMBEDDING-space twin of the n-gram
+    * `Curation.decontaminate`: a corpus document whose embedding sits
+    * within `threshold` cosine of ANY benchmark/eval embedding is flagged
+    * (paraphrased leakage that shares no 5-gram still collides here).
+    * Returns one row per flagged corpus id: (idCol, eval_id, cosine) for
+    * the NEAREST eval item (ties on the rounded cosine to smallest
+    * eval_id).
+    *
+    * Scale design: eval suites are small by nature (benchmark files, not
+    * corpora), so the eval side BROADCASTS and the corpus scan stays
+    * embarrassingly parallel — one fused-codegen cosine per (corpus,
+    * eval) pair, per-corpus-id argmax via the GroupedTopK bounded heap,
+    * no shuffle of the corpus beyond the heap's one-row-per-id combine.
+    * Cosines round(6) before the threshold/tie so the flagged set is
+    * engine-portable. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    val spark = corpus.sparkSession
+    val e = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(e))
+      .select(col(idCol), col("eval_id"),
+        round(graft.expressions.VectorCosine.vecCosine(spark,
+          col("__cv"), col("__ev")), 6).as("cosine"))
+    graft.plans.GroupedTopK(scored, Seq(idCol),
+        Seq(col("cosine").desc, col("eval_id").asc), 1)
+      .filter(col("cosine") >= threshold)
+      .select(col(idCol), col("eval_id"), col("cosine"))
+  }
 }

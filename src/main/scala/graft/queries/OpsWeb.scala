@@ -710,7 +710,50 @@ object OpsWeb extends Suite {
       |  doc_id % 3 = 0 AS was_repaired
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- semantic decontamination: corpus vecs ≡1 mod 50 carry a PLANTED
+  //    copy of the adjacent eval vector (vec_id−1 ≡ 0 mod 10 → in the
+  //    eval slice), so the flagged set is pure construction arithmetic;
+  //    everything else sits below cosine 0.5 in this corpus and the 0.8
+  //    threshold separates cleanly. ------------------------------------
+  private val semanticDecontamQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val donor = emb.select((col("vec_id") + 1).as("vec_id"),
+      col("embedding").as("__dv"))
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      .join(donor, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(50)) === 1 && col("__dv").isNotNull,
+          col("__dv")).otherwise(col("embedding")).as("embedding"))
+    val evalSet = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    graft.operators.Similarity.semanticDecontaminate(
+        corpus, evalSet, "vec_id", "embedding", threshold = 0.8)
+      .orderBy(col("vec_id"))
+  }
+  private val semanticDecontamSql =
+    """WITH d AS (SELECT vec_id + 1 AS vec_id, embedding AS dv
+      |           FROM embeddings),
+      |c AS (SELECT e.vec_id,
+      |    CASE WHEN e.vec_id % 50 = 1 AND d.dv IS NOT NULL THEN d.dv
+      |         ELSE e.embedding END AS v
+      |  FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+      |  WHERE e.vec_id % 10 <> 0),
+      |ev AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
+      |       WHERE vec_id % 10 = 0),
+      |s AS (SELECT c.vec_id, ev.eval_id,
+      |    round(list_dot_product(c.v::DOUBLE[], ev.ev::DOUBLE[])
+      |      / (sqrt(list_dot_product(c.v::DOUBLE[], c.v::DOUBLE[]))
+      |         * sqrt(list_dot_product(ev.ev::DOUBLE[],
+      |                                 ev.ev::DOUBLE[]))), 6) AS cos
+      |  FROM c, ev),
+      |r AS (SELECT vec_id, eval_id, cos, row_number() OVER
+      |        (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+      |      FROM s)
+      |SELECT vec_id, eval_id, cos AS cosine
+      |FROM r WHERE rn = 1 AND cos >= 0.8 ORDER BY vec_id""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "llm_semantic_decontaminate" -> semanticDecontamQ,
     "llm_corpus_kl" -> corpusKlQ,
     "llm_mojibake" -> mojibakeQ,
     "llm_length_outliers" -> lengthOutliersQ,
@@ -730,6 +773,7 @@ object OpsWeb extends Suite {
     "op_interval_join" -> intervalJoinQ)
 
   def oracle: Map[String, String] = Map(
+    "llm_semantic_decontaminate" -> semanticDecontamSql,
     "llm_corpus_kl" -> corpusKlSql,
     "llm_mojibake" -> mojibakeSql,
     "llm_length_outliers" -> lengthOutliersSql,

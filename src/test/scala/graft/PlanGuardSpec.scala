@@ -95,6 +95,9 @@ class PlanGuardSpec extends SparkSpec {
                                      // aggregates crossed into the
                                      // single-row report
     "llm_corpus_kl" -> 1,            // 1-row corpus-total aggregate
+    "llm_semantic_decontaminate" -> 1, // broadcast EVAL side — benchmark
+                                     // suites are small by nature; the
+                                     // broadcast IS the scale design
     "tpch_q11" -> 1,                 // scalar-subquery threshold
     "tpch_q22" -> 1)                 // scalar-subquery avg balance
 
@@ -225,6 +228,7 @@ class PlanGuardSpec extends SparkSpec {
     "llm_length_outliers" -> (7, 0, 0, 4),
     "llm_corpus_kl" -> (12, 0, 0, 0),
     "llm_mojibake" -> (1, 0, 0, 0),
+    "llm_semantic_decontaminate" -> (4, 0, 2, 2),
     // incremental capstone: the cached survivor/updated relations render
     // under 4 summary consumers (one execution each); GroupedTopK k=1
     // pairs from the Bloom path's exact dedup

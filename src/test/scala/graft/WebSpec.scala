@@ -243,6 +243,27 @@ class WebSpec extends SparkSpec {
     assert(got(2) == falsePos)
   }
 
+  test("semanticDecontaminate flags scale-invariant copies, ignores " +
+    "orthogonal and sub-threshold vectors") {
+    val ev = Seq((10L, Seq(1.0f, 0f, 0f)), (20L, Seq(0f, 1.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0f, 0f)),  // scaled copy of eval 10 -> cosine 1
+      (2L, Seq(0f, 0f, 3.0f)),  // orthogonal to both
+      (3L, Seq(0.6f, 0.8f, 0f)) // cos .6/.8 — best is eval 20 at 0.8 < 0.9
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .semanticDecontaminate(corpus, ev, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10L, 1.0)))
+    // at a looser threshold the sub-threshold doc surfaces with its
+    // NEAREST eval item
+    val loose = graft.operators.Similarity
+      .semanticDecontaminate(corpus, ev, "vec_id", "embedding", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 10L), (3L, 20L)))
+  }
+
   private def bruteOverlap(a: Seq[(Long, Long, Long)],
                            b: Seq[(Long, Long, Long)]) =
     (for {
