@@ -132,6 +132,25 @@ class WebSpec extends SparkSpec {
       (4L, 0L, 0L, true, true)))
   }
 
+  test("frontier edges (endpoints outside the node set): degrees count " +
+    "them, pageRank drops their contributions as documented") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    // 1 -> 2 in-set; 1 -> 99 leaves the crawl frontier
+    val edges = Seq((1L, 2L), (1L, 99L)).toDF("src", "dst")
+    val deg = Graph.linkStats(nodes, edges, "id", "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // out-degree counts the frontier edge; node 99 is simply not emitted
+    assert(deg(1L) == ((2L, 0L)) && deg(2L) == ((0L, 1L)))
+    val ranks = Graph.pageRank(nodes, edges, "id", "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // half of node 1's emitted rank leaves the set each round — total mass
+    // dips below 1 (the documented drop), but stays positive and finite
+    val total = ranks.values.sum
+    assert(total < 1.0 && total > 0.5, s"mass $total")
+    assert(ranks.values.forall(v => v > 0 && !v.isNaN))
+  }
+
   test("extractDomain vectors") {
     val in = Seq(
       "HTTPS://WWW.News.Example.ORG:443/a/b?x=1",
