@@ -497,7 +497,36 @@ object OpsRelational extends Suite {
       |SELECT c_custkey AS k FROM customer WHERE c_custkey >= 40
       |ORDER BY k""".stripMargin
 
+  // -- deterministic grouped MODE: most frequent o_orderpriority per
+  //    customer nation (count-grouped, then argmax per nation via the
+  //    GroupedTopK bounded heap with a lexicographic tie-break — Spark's
+  //    own mode() aggregate resolves ties nondeterministically, which can
+  //    never pass a hash gate). ------------------------------------------
+  private val aggMode: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val counts = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GroupedTopK(counts, Seq("c_nationkey"),
+        Seq(col("n").desc, col("o_orderpriority").asc), 1)
+      .select(col("c_nationkey"), col("o_orderpriority").as("mode_prio"),
+        col("n"))
+      .orderBy(col("c_nationkey"))
+  }
+  private val aggModeSql =
+    """WITH c AS (SELECT c_nationkey, o_orderpriority, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT c_nationkey, o_orderpriority, n, row_number() OVER
+      |        (PARTITION BY c_nationkey
+      |         ORDER BY n DESC, o_orderpriority) AS rn
+      |      FROM c)
+      |SELECT c_nationkey, o_orderpriority AS mode_prio, n
+      |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    "op_agg_mode" -> aggMode,
     "op_project" -> project,
     "op_filter" -> filter,
     "op_join_inner" -> joinQ("inner"),
@@ -529,6 +558,7 @@ object OpsRelational extends Suite {
     "op_except" -> exceptQ)
 
   def oracle: Map[String, String] = Map(
+    "op_agg_mode" -> aggModeSql,
     "op_project" -> projectSql,
     "op_filter" -> filterSql,
     "op_join_inner" -> joinSql("INNER JOIN"),

@@ -225,6 +225,7 @@ class PlanGuardSpec extends SparkSpec {
     "op_asof_nearest" -> (3, 0, 0, 2),
     "sql_range_value_frame" -> (2, 0, 0, 0),
     "sql_named_window" -> (2, 0, 0, 0),
+    "op_agg_mode" -> (4, 0, 2, 2),
     "llm_length_outliers" -> (7, 0, 0, 4),
     "llm_corpus_kl" -> (12, 0, 0, 0),
     "llm_mojibake" -> (1, 0, 0, 0),
