@@ -423,6 +423,46 @@ object OpsScalar extends Suite {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
       |  l_extendedprice""".stripMargin
 
+  // -- wider array battery: distinct / sort / contains / slice / union /
+  //    intersect / max-min, serialized through the hash gate (the driver
+  //    cannot compare array cells). DuckDB's list_distinct does not
+  //    guarantee order, so set-valued results sort before serializing on
+  //    BOTH engines. ------------------------------------------------------
+  private val fnArray2: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val arr = array(pmod(col("o_orderkey"), lit(5)),
+      pmod(col("o_orderkey"), lit(3)), pmod(col("o_orderkey"), lit(5)))
+    val arr2 = array(pmod(col("o_orderkey"), lit(3)),
+      pmod(col("o_orderkey"), lit(7)))
+    t.orders.filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        array_join(sort_array(array_distinct(arr)), ",").as("dist_s"),
+        array_join(sort_array(arr), ",").as("sort_s"),
+        array_contains(arr, lit(2L)).as("has2"),
+        array_join(slice(sort_array(arr), 1, 2), ",").as("first2"),
+        array_join(sort_array(array_union(arr, arr2)), ",").as("union_s"),
+        array_join(sort_array(array_intersect(arr, arr2)), ",")
+          .as("inter_s"),
+        array_max(arr).as("mx"), array_min(arr).as("mn"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val fnArray2Sql =
+    """WITH a AS (SELECT o_orderkey,
+      |    [o_orderkey % 5, o_orderkey % 3, o_orderkey % 5] AS arr,
+      |    [o_orderkey % 3, o_orderkey % 7] AS arr2
+      |  FROM orders WHERE o_orderkey < 2000)
+      |SELECT o_orderkey,
+      |  array_to_string(list_sort(list_distinct(arr)), ',') AS dist_s,
+      |  array_to_string(list_sort(arr), ',') AS sort_s,
+      |  list_contains(arr, 2) AS has2,
+      |  array_to_string(list_slice(list_sort(arr), 1, 2), ',') AS first2,
+      |  array_to_string(list_sort(list_distinct(arr || arr2)), ',')
+      |    AS union_s,
+      |  array_to_string(list_sort(list_distinct(list_filter(arr,
+      |    x -> list_contains(arr2, x)))), ',') AS inter_s,
+      |  list_max(arr) AS mx, list_min(arr) AS mn
+      |FROM a ORDER BY o_orderkey""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "op_fn_math" -> fnMath,
     "op_fn_trunc" -> fnTrunc,
@@ -435,7 +475,8 @@ object OpsScalar extends Suite {
     "op_fn_conditional" -> fnConditional,
     "op_fn_cast" -> fnCast,
     "op_expr_ops" -> exprOps,
-    "op_fn_array" -> fnArray)
+    "op_fn_array" -> fnArray,
+    "op_fn_array2" -> fnArray2)
 
   def oracle: Map[String, String] = Map(
     "op_fn_math" -> fnMathSql,
@@ -449,5 +490,6 @@ object OpsScalar extends Suite {
     "op_fn_conditional" -> fnConditionalSql,
     "op_fn_cast" -> fnCastSql,
     "op_expr_ops" -> exprOpsSql,
-    "op_fn_array" -> fnArraySql)
+    "op_fn_array" -> fnArraySql,
+    "op_fn_array2" -> fnArray2Sql)
 }

@@ -226,6 +226,7 @@ class PlanGuardSpec extends SparkSpec {
     "sql_range_value_frame" -> (2, 0, 0, 0),
     "sql_named_window" -> (2, 0, 0, 0),
     "op_agg_mode" -> (4, 0, 2, 2),
+    "op_fn_array2" -> (1, 0, 0, 1),
     "llm_length_outliers" -> (7, 0, 0, 4),
     "llm_corpus_kl" -> (12, 0, 0, 0),
     "llm_mojibake" -> (1, 0, 0, 0),
