@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through VERBATIM instead of
+// re-logging each line with an "[info] "/"[error] " prefix — the bench
+// driver extracts a bare JSON contract line from the process tail, and
+// sbt's default LoggedOutput prefix is what kept breaking its parser.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,7 +72,9 @@ object Bench {
       "llm_pipeline_web", "llm_hits", "llm_phrase_search",
       "llm_token_entropy", "llm_pipeline_incremental",
       "events_resample", "llm_length_outliers", "llm_corpus_kl",
-      "llm_mojibake", "op_asof_nearest", "llm_semantic_decontaminate")
+      "llm_mojibake", "op_asof_nearest", "llm_semantic_decontaminate",
+      // round-7 addition: exact-substring dedup at arbitrary alignment
+      "llm_dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,9 +146,20 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
         }
         val first = onePass()
-        val passes = basePasses
-        val times = first +: (2 to passes).map(_ => onePass())
-        name -> (if (times.forall(_ >= 0)) (times.min, passes) else (-1.0, passes))
+        val base = first +: (2 to basePasses).map(_ => onePass())
+        // Fast tail (min < 300 ms): JVM/scheduler wobble is a large
+        // fraction of the reading, and min-of-3 still jitters round over
+        // round — take 2 extra passes and report the MEDIAN of 5, which
+        // a single fast-or-slow outlier cannot move. Heavier queries
+        // keep min-of-3 (comparable with prior rounds; the min is the
+        // uncontended reading there).
+        val fastTail = base.forall(_ >= 0) && base.min < 0.3
+        val times = if (fastTail) base ++ Seq(onePass(), onePass()) else base
+        val value =
+          if (!times.forall(_ >= 0)) -1.0
+          else if (fastTail) times.sorted.apply(times.size / 2)
+          else times.min
+        name -> (value, times.size)
       }
     }
     // The driver captures only the LAST 2000 bytes of stdout (measured from
@@ -205,7 +218,22 @@ object Bench {
       try w.println(s"""{"queries":$full,"sentinel_first":$sentinelFirst,"sentinel_last":$sentinelLast,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
-    println(line)
+    // Stop the session BEFORE emitting the contract line: Spark's shutdown
+    // logging would otherwise land after it and push it out of the
+    // driver's fixed-size tail capture.
     spark.stop()
+    println(line)
+    Console.out.flush()
+    // The driver's extractor reads the process output tail, and sbt's
+    // in-process `run` routes BOTH System.out and System.err through its
+    // logger with "[info] "/"[error] " prefixes (measured: the r6 line
+    // survived the tail but arrived prefixed — the most likely reason the
+    // driver recorded parsed:null). Writing to FileDescriptor.out
+    // bypasses sbt's stream redirection entirely: the JSON lands on the
+    // real process stdout as a bare line, last thing we write.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    rawOut.println(line)
+    rawOut.flush()
   }
 }

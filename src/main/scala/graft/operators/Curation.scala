@@ -350,10 +350,15 @@ object Curation {
     * window pass over the corpus. */
   private def bigramCounts(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    // w =!= "" mirrors the sibling token ops (tokenEntropy, keywords,
+    // corpusDivergence): an all-whitespace doc trims to "" and split
+    // yields ONE empty token, which must not enter unigram totals or
+    // bigram pairs. After trim, "" only occurs as that singleton, so
+    // filtering before the lead() window cannot re-pair real tokens.
     val toks = df.select(col(idCol),
         posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
           .as(Seq("i", "w")))
-      .filter(col("w").isNotNull)
+      .filter(col("w").isNotNull && col("w") =!= "")
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
     val bi = toks
       .withColumn("w2", lead(col("w"), 1).over(byPos))

@@ -29,7 +29,13 @@ object Dedup {
   private val lastPersisted =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def persistScoped(key: String, df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skip the persist call when the plan is already cached (two scoped
+    // keys can normalize to the same plan) — CacheManager would keep the
+    // existing entry anyway but logs a WARN per call, flooding the bench
+    // log with "Asked to cache already cached data" noise
+    val p =
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = lastPersisted.put(s"${df.sparkSession.hashCode}:$key", p)
     // Spark's CacheManager dedups by plan: a repeated call over the SAME
     // plan shares one cache entry, and unpersisting the old handle would
@@ -351,6 +357,70 @@ object Dedup {
             s => s.getField("chunk_text")), " ").as("clean_text"))
       .withColumn("dup_ratio",
         round(col("n_dup").cast("double") / col("n_seg"), 6))
+  }
+
+  /** Exact-substring dedup at ARBITRARY alignment with keep-first
+    * semantics — the remaining member of the Lee et al. (ACL 2022
+    * "Deduplicating Training Data Makes Language Models Better") family:
+    * every token position's `L`-token window (the position's suffix
+    * truncated to `L` tokens) is keyed by the md5 of its EXACT text;
+    * grouping equal keys is the distributed, shuffle-friendly form of
+    * sorting the suffixes and detecting adjacent equal runs. The
+    * corpus-wide FIRST occurrence — min (doc, offset), the
+    * [[segmentDedup]] min-struct canonicalization — of each duplicated
+    * window survives; every LATER copy (any document, any offset, aligned
+    * or not) is flagged, and flagged positions merge per document into
+    * maximal cut spans (the [[duplicateSpans]] gaps-and-islands form). A
+    * single 49-token copy at an unaligned offset therefore comes back as
+    * ONE [start, end] span covering exactly the copied run, while the
+    * donor document keeps its text.
+    *
+    * Returns (id, span_start, span_end, n_dup_windows), 1-based inclusive
+    * token indices, one row per maximal span to cut.
+    *
+    * vs [[duplicateSpans]]: that operator flags EVERY occurrence
+    * (including the first) and keys windows by the xxhash64 chain —
+    * the narrowest-shuffle scale path. This one implements the
+    * keep-first-copy policy a Lee-et-al pipeline actually applies, and
+    * keys by exact text digest, so it is oracle-replayable with zero
+    * collision caveats. Scale shape is identical: the L-token window
+    * string exists only executor-locally inside the projection (the
+    * shuffle carries the 16-byte digest), the canonical table is one
+    * map-side-combined min-struct aggregation, and span assembly is a
+    * per-document window — no global sort, no driver state. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     L: Int = 20): DataFrame = {
+    require(L >= 1, s"L=$L must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      expr(tokensExpr(textCol)).as("tk"))
+    val winArr =
+      s"""CASE WHEN size(tk) >= $L
+         |  THEN transform(sequence(1, size(tk) - ${L - 1}),
+         |       i -> md5(array_join(slice(tk, i, $L), ' ')))
+         |  ELSE CAST(array() AS array<string>) END""".stripMargin
+    val wins = toks
+      .select(col(idCol), posexplode_outer(expr(winArr)).as(Seq("p0", "fp")))
+      .filter(col("fp").isNotNull)
+      .select(col(idCol), (col("p0") + 1).as("i"), col("fp"))
+    val canon = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col(idCol), col("i"))).as("__c"))
+    val dup = wins.join(canon, Seq("fp"))
+      .filter(col("occ") >= 2 &&
+        !(col(idCol) === col("__c")(idCol) && col("i") === col("__c")("i")))
+      .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val prevMaxEnd = max(col("e"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("isl",
+        when(prevMaxEnd.isNull || col("i") > prevMaxEnd + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("isl")).over(byPos))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("i")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .drop("grp")
   }
 
   // --- shingling ---------------------------------------------------------

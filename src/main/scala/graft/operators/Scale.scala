@@ -147,9 +147,13 @@ object Scale {
     * state is just the open-bin load array (longs), so executor memory is
     * O(bins per bucket), never O(corpus). Bin ids are globally unique by
     * construction (bucket ⊕ local index). FFD's 11/9·OPT + 1 guarantee
-    * holds per bucket; summed over buckets the bound is
-    * 11/9·Σ_b ceil(total_b/capacity) + buckets, which callers can assert
-    * without knowing the optimum.
+    * holds per bucket; summed over buckets the assertable bound is
+    * 11/9·Σ_b OPT_lb(b) + buckets where
+    * OPT_lb(b) = max(ceil(total_b/capacity), #items with len > capacity/2)
+    * — a valid OPT lower bound (volume + pigeonhole: two items above
+    * capacity/2 cannot share a bin). The volume term alone is NOT a
+    * sound substitute for OPT: a bucket of all-(cap/2, cap] items packs
+    * one-per-bin optimally yet the volume bound is about half that.
     *
     * Determinism: bucket hash, the (len desc, id asc) total order, and the
     * sequential best-fit rule are all deterministic, so the full

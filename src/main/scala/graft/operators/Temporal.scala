@@ -43,6 +43,9 @@ object Temporal {
     * Contract: `right` must be unique on (`by`, `tsRight`) — with duplicate
     * right timestamps "the most recent row" is ill-defined and the window
     * tie order nondeterministic. Pre-aggregate the right side to enforce it.
+    * Null right payload VALUES are safe: the payload travels as one struct,
+    * so a null field of the matched row stays null instead of backfilling
+    * from an older right row.
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
                tsLeft: String, tsRight: String,
@@ -61,23 +64,28 @@ object Temporal {
       s"left columns collide with matched_* output names: $matched")
 
     val tsType = left.schema(tsLeft).dataType
+    // The whole right payload travels as ONE struct (__r): the running
+    // last(ignoreNulls) then skips left rows (whole-struct null) but can
+    // never skip a NULL FIELD of a matched right row — per-column lasts
+    // would silently backfill a null payload value from an older right
+    // row, mixing fields of different right rows in one output row.
+    val rStruct = struct(
+      rightPayload.map(c => col(c).as(s"matched_$c")) :+
+        col(tsRight).as(s"matched_$tsRight"): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
     // Identical schemas for unionByName: by ++ __ts ++ __tag ++ left payload
-    // (null on right rows) ++ matched_* right payload (null on left rows).
+    // (null on right rows) ++ __r struct (null on left rows).
     val lSide = left.select(
       by.map(col) ++
         Seq(col(tsLeft).cast(tsType).as("__ts"), lit(1).as("__tag")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"matched_$c")) :+
-        lit(null).cast(right.schema(tsRight).dataType)
-          .as(s"matched_$tsRight"): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rSide = right.select(
       by.map(col) ++
         Seq(col(tsRight).cast(tsType).as("__ts"), lit(0).as("__tag")) ++
         leftPayload.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"matched_$c")) :+
-        col(tsRight).as(s"matched_$tsRight"): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r"): _*)
 
     // Backward: ascending time, right rows (__tag 0) sort before left rows at
     // equal ts so ties match inclusively; the running `last` is then the most
@@ -92,9 +100,8 @@ object Temporal {
           .orderBy(col("__ts").desc, col("__tag").asc)
     val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withMatch = matched.foldLeft(lSide.unionByName(rSide)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val withMatch = lSide.unionByName(rSide)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     // tolerance: null out matches farther than the cap. Works on the raw
     // time value (µs for timestamps, the column's unit for integrals).
     def asLong(c: Column): Column = tsType match {
@@ -106,22 +113,20 @@ object Temporal {
     val bounded = toleranceUs match {
       case None => withMatch
       case Some(tol) =>
-        val mts = col(s"matched_$tsRight")
+        val mts = col("__r").getField(s"matched_$tsRight")
         val gap =
           if (direction == "backward") asLong(col("__ts")) - asLong(mts)
           else asLong(mts) - asLong(col("__ts"))
-        // matched_<tsRight> is LAST in `matched`, so every other matched
-        // column is nulled while mts still holds the original match time
-        matched.foldLeft(withMatch) { (df, c) =>
-          df.withColumn(c,
-            when(mts.isNotNull && gap <= tol, col(c))
-              .otherwise(lit(null).cast(df.schema(c).dataType)))
-        }
+        // one whole-struct null drops the entire match atomically
+        withMatch.withColumn("__r",
+          when(mts.isNotNull && gap <= tol, col("__r"))
+            .otherwise(lit(null).cast(rStructType)))
     }
     bounded
       .filter(col("__tag") === 1)
       .withColumnRenamed("__ts", tsLeft)
-      .select((by ++ leftPayload ++ Seq(tsLeft) ++ matched).map(col): _*)
+      .select((by ++ leftPayload ++ Seq(tsLeft)).map(col) ++
+        matched.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** As-of join, direction "nearest" (the pandas `merge_asof` third
@@ -148,21 +153,23 @@ object Temporal {
       s"left columns collide with matched_* output names: $matched")
 
     val tsType = left.schema(tsLeft).dataType
+    // Right payload as ONE struct — see asofJoin: per-column lasts would
+    // backfill null payload fields from older right rows.
+    val rStruct = struct(
+      rightPayload.map(c => col(c).as(s"matched_$c")) :+
+        col(tsRight).as(s"matched_$tsRight"): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
     val lSide = left.select(
       by.map(col) ++
         Seq(col(tsLeft).cast(tsType).as("__ts"), lit(1).as("__tag")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"matched_$c")) :+
-        lit(null).cast(right.schema(tsRight).dataType)
-          .as(s"matched_$tsRight"): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rSide = right.select(
       by.map(col) ++
         Seq(col(tsRight).cast(tsType).as("__ts"), lit(0).as("__tag")) ++
         leftPayload.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"matched_$c")) :+
-        col(tsRight).as(s"matched_$tsRight"): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r"): _*)
 
     val wB = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
@@ -171,18 +178,17 @@ object Temporal {
       .orderBy(col("__ts").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val both = matched.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
-        .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wF))
-    }
+    val both = lSide.unionByName(rSide)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))
     def asLong(c: Column): Column = tsType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(c)
       case org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(c.cast("timestamp"))
       case _ => c.cast("long")
     }
-    val bts = col(s"__b_matched_$tsRight")
-    val fts = col(s"__f_matched_$tsRight")
+    val bts = col("__b").getField(s"matched_$tsRight")
+    val fts = col("__f").getField(s"matched_$tsRight")
     val gapB = asLong(col("__ts")) - asLong(bts)
     val gapF = asLong(fts) - asLong(col("__ts"))
     val inTol = (g: Column) =>
@@ -191,16 +197,14 @@ object Temporal {
     val pickB = bts.isNotNull && inTol(gapB) &&
       (fts.isNull || !inTol(gapF) || gapB <= gapF)
     val pickF = fts.isNotNull && inTol(gapF) && !pickB
-    val chosen = matched.foldLeft(both) { (df, c) =>
-      df.withColumn(c,
-        when(pickB, col(s"__b_$c"))
-          .when(pickF, col(s"__f_$c"))
-          .otherwise(lit(null).cast(df.schema(s"__b_$c").dataType)))
-    }
+    val chosen = both.withColumn("__r",
+      when(pickB, col("__b")).when(pickF, col("__f"))
+        .otherwise(lit(null).cast(rStructType)))
     chosen
       .filter(col("__tag") === 1)
       .withColumnRenamed("__ts", tsLeft)
-      .select((by ++ leftPayload ++ Seq(tsLeft) ++ matched).map(col): _*)
+      .select((by ++ leftPayload ++ Seq(tsLeft)).map(col) ++
+        matched.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Point-in-interval join via overlap binning. `pointExpr`, `startExpr`,

@@ -158,13 +158,20 @@ object TextAnalysis {
 
   /** Registrable host for per-domain policies (domain capping, blocklists,
     * per-site quotas — the C4/RefinedWeb curation knobs): the URL's host,
-    * lowercased, port stripped, one leading "www." folded. Pure regexp
-    * extraction — codegen'd, zero shuffle. Patterns stay inside the
-    * Java-regex ∩ RE2 subset so a DuckDB oracle can replay them verbatim
-    * (the PII-battery discipline). */
+    * lowercased, userinfo ("user:pass@") and port stripped, one leading
+    * "www." folded. Requires a "//" scheme separator (scheme-relative
+    * "//host/…" included); scheme-less strings yield '' — route bare
+    * hostnames through canonicalizeUrl first. Pure regexp extraction —
+    * codegen'd, zero shuffle. Patterns stay inside the Java-regex ∩ RE2
+    * subset so a DuckDB oracle can replay them verbatim (the PII-battery
+    * discipline). */
   def extractDomain(url: Column): Column =
     regexp_replace(
-      lower(regexp_extract(url, "^[^/?#]+//([^/?#:]+)", 1)),
+      regexp_replace(
+        lower(regexp_replace(
+          regexp_extract(url, "^[^/?#]*//([^/?#]+)", 1),
+          "^[^/@]*@", "")),
+        ":[0-9]*$", ""),
       "^www\\.", "")
 
   /** Crawl-HTML → text extraction (the WET step every web corpus runs

@@ -452,7 +452,7 @@ object OpsCuration extends Suite {
       |       WHERE len(tk) >= 2),
       |bc AS (SELECT w, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
       |un AS (SELECT unnest(tk) AS w FROM toks),
-      |uc AS (SELECT w, count(*) AS cu FROM un GROUP BY w),
+      |uc AS (SELECT w, count(*) AS cu FROM un WHERE w <> '' GROUP BY w),
       |vv AS (SELECT count(*) AS v FROM uc),
       |sc AS (SELECT b.doc_id, ln((cb + 1.0) / (cu + 1.0 * v)) AS lp
       |       FROM bi b JOIN bc USING (w, w2) JOIN uc USING (w)

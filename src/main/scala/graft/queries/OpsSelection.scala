@@ -118,6 +118,77 @@ object OpsSelection extends Suite {
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- exact-substring dedup at ARBITRARY alignment (Lee et al. ACL'22
+  //    suffix formulation, keep-first): docs with doc_id % 25 == 7 get a
+  //    49-token slice of the donor (doc_id - 7, itself never planted)
+  //    spliced in after their first (doc_id % 13 + 1) tokens — an
+  //    UNALIGNED offset the segment grid of llm_dedup_lines would miss.
+  //    Both engines build the same planted corpus, key every position's
+  //    20-token window by md5 of its exact text, keep the min-(doc,
+  //    offset) occurrence, and merge later copies into maximal spans. ----
+  private val subL = 20
+  private val dedupSubstring: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val base = t.documents.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("tk"))
+    val donor = base.select(col("doc_id").as("dn_id"), col("tk").as("dn_tk"))
+    val planted = base
+      .join(donor, col("dn_id") === col("doc_id") - 7, "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(25)) === 7 && col("dn_id").isNotNull,
+          concat_ws(" ",
+            array_join(expr("slice(tk, 1, CAST(doc_id % 13 + 1 AS INT))"),
+              " "),
+            array_join(expr("slice(dn_tk, 11, 49)"), " "),
+            array_join(expr("slice(tk, CAST(doc_id % 13 + 2 AS INT)," +
+              " size(tk))"), " ")))
+          .otherwise(array_join(col("tk"), " ")).as("text"))
+    Dedup.substringDedup(planted, "doc_id", "text", L = subL)
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("n_dup_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+  private val dedupSubstringSql =
+    s"""WITH d0 AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |pl AS (SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 25 = 7 AND dn.doc_id IS NOT NULL THEN
+      |      array_to_string(d.tk[1:(d.doc_id % 13 + 1)], ' ') || ' ' ||
+      |      array_to_string(dn.tk[11:59], ' ') || ' ' ||
+      |      array_to_string(d.tk[(d.doc_id % 13 + 2):len(d.tk)], ' ')
+      |    ELSE array_to_string(d.tk, ' ') END AS t
+      |  FROM d0 d LEFT JOIN d0 dn ON dn.doc_id = d.doc_id - 7),
+      |tk AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(t)), '\\s+') AS tk FROM pl),
+      |w AS (SELECT doc_id, i,
+      |    md5(array_to_string(tk[i:i + ${subL - 1}], ' ')) AS fp
+      |  FROM tk, unnest(generate_series(1, len(tk) - ${subL - 1}))
+      |    AS t(i)
+      |  WHERE len(tk) >= $subL),
+      |a AS (SELECT fp, count(*) AS occ, min(doc_id) AS cd
+      |      FROM w GROUP BY fp),
+      |ci AS (SELECT w.fp, min(w.i) AS ci FROM w
+      |       JOIN a ON w.fp = a.fp AND w.doc_id = a.cd GROUP BY w.fp),
+      |dup AS (SELECT w.doc_id, w.i, w.i + ${subL - 1} AS e
+      |        FROM w JOIN a USING (fp) JOIN ci USING (fp)
+      |        WHERE occ >= 2 AND NOT (w.doc_id = a.cd AND w.i = ci.ci)),
+      |m AS (SELECT doc_id, i, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           IS NULL
+      |         OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |    THEN 1 ELSE 0 END AS isl
+      |  FROM dup),
+      |g AS (SELECT doc_id, i, e,
+      |    sum(isl) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM m)
+      |SELECT doc_id, min(i) AS span_start, max(e) AS span_end,
+      |  count(*) AS n_dup_windows
+      |FROM g GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // -- Unicode normalization: NFC composes planted decomposed accents
   //    (verified against DuckDB's nfc_normalize), NFKC folds fullwidth /
   //    double-struck / ligature forms to their compatibility images
@@ -516,6 +587,7 @@ object OpsSelection extends Suite {
   def defs: Map[String, Q] = Map(
     "llm_dsir_select" -> dsirSelect,
     "llm_dedup_lines" -> dedupLines,
+    "llm_dedup_substring" -> dedupSubstring,
     "llm_normalize" -> normalize,
     "llm_salted_join" -> saltedJoin,
     "llm_snapshot_diff" -> snapshotDiff,
@@ -530,6 +602,7 @@ object OpsSelection extends Suite {
   def oracle: Map[String, String] = Map(
     "llm_dsir_select" -> dsirSelectSql,
     "llm_dedup_lines" -> dedupLinesSql,
+    "llm_dedup_substring" -> dedupSubstringSql,
     "llm_normalize" -> normalizeSql,
     "llm_salted_join" -> saltedJoinSql,
     "llm_snapshot_diff" -> snapshotDiffSql,

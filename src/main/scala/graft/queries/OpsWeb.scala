@@ -23,21 +23,11 @@ object OpsWeb extends Suite {
   // (7u+1) mod N and (13u+5) mod N; every third such doc also links to the
   // hub page 0. Docs with u%13 == 0 emit nothing — the DANGLING set
   // (~N/13) whose parked rank mass the power iteration must redistribute.
-  // Self-loops filtered identically on both engines. N is data-dependent
-  // (doc count), carried as a broadcast 1-row aggregate — no literal bakes
-  // the scale factor into the query.
-  private def syntheticEdges(docs: org.apache.spark.sql.DataFrame) = {
-    val cnt = docs.agg(count(lit(1)).as("__n"))
-    val linkers = docs.crossJoin(broadcast(cnt))
-      .filter(pmod(col("doc_id"), lit(13)) =!= 0)
-    val e1 = linkers.select(col("doc_id").as("src"),
-      pmod(col("doc_id") * 7 + 1, col("__n")).as("dst"))
-    val e2 = linkers.select(col("doc_id").as("src"),
-      pmod(col("doc_id") * 13 + 5, col("__n")).as("dst"))
-    val e3 = linkers.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .select(col("doc_id").as("src"), lit(0L).as("dst"))
-    e1.unionByName(e2).unionByName(e3).filter(col("src") =!= col("dst"))
-  }
+  // Self-loops filtered identically on both engines. Since round 7 the
+  // graph is PROMOTED to a real parquet table (Tables.edges: built once
+  // per sf dir, src-sorted row groups, then scanned), so every graph
+  // query exercises genuine table scan pruning instead of re-deriving
+  // doc_id arithmetic; the oracle CTEs below replay the same derivation.
 
   private val edgesSqlCtes =
     """nn AS (SELECT count(*) AS n FROM documents),
@@ -63,7 +53,7 @@ object OpsWeb extends Suite {
     val t = Tables(s, dir)
     val docs = t.documents.select(col("doc_id"))
     val cnt = docs.agg(count(lit(1)).as("__n"))
-    Graph.pageRank(docs, syntheticEdges(docs), "doc_id", "src", "dst",
+    Graph.pageRank(docs, t.edges, "doc_id", "src", "dst",
         iters = 5, damping = 0.85)
       .crossJoin(broadcast(cnt))
       .select(col("doc_id"),
@@ -103,7 +93,7 @@ object OpsWeb extends Suite {
     val docs = t.documents.select(col("doc_id"))
     val cnt = docs.agg(count(lit(1)).as("__n"))
     val seeds = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-    Graph.pageRank(docs, syntheticEdges(docs), "doc_id", "src", "dst",
+    Graph.pageRank(docs, t.edges, "doc_id", "src", "dst",
         iters = 5, damping = 0.85, teleport = Some(seeds))
       .crossJoin(broadcast(cnt))
       .select(col("doc_id"),
@@ -145,7 +135,7 @@ object OpsWeb extends Suite {
     val t = Tables(s, dir)
     val docs = t.documents.select(col("doc_id"))
     val cnt = docs.agg(count(lit(1)).as("__n"))
-    Graph.hits(docs, syntheticEdges(docs), "doc_id", "src", "dst",
+    Graph.hits(docs, t.edges, "doc_id", "src", "dst",
         iters = 5)
       .crossJoin(broadcast(cnt))
       .select(col("doc_id"),
@@ -187,7 +177,7 @@ object OpsWeb extends Suite {
   private val linkStatsQ: Q = (s, dir) => {
     val t = Tables(s, dir)
     val docs = t.documents.select(col("doc_id"))
-    Graph.linkStats(docs, syntheticEdges(docs), "doc_id", "src", "dst")
+    Graph.linkStats(docs, t.edges, "doc_id", "src", "dst")
       .orderBy(col("doc_id"))
   }
   private val linkStatsSql =
@@ -223,10 +213,12 @@ object OpsWeb extends Suite {
   }
   private val domainCapSql =
     """WITH u AS (SELECT doc_id, n_chars,
-      |    regexp_replace(lower(regexp_extract(
+      |    regexp_replace(regexp_replace(lower(regexp_replace(
+      |      regexp_extract(
       |      'HTTPS://WWW.' || source || CAST(doc_id % 3 AS VARCHAR)
       |        || '.Example.org:443/p/' || CAST(doc_id AS VARCHAR),
-      |      '^[^/?#]+//([^/?#:]+)', 1)), '^www\.', '') AS domain
+      |      '^[^/?#]*//([^/?#]+)', 1),
+      |      '^[^/@]*@', '')), ':[0-9]*$', ''), '^www\.', '') AS domain
       |  FROM documents),
       |r AS (SELECT domain, doc_id, n_chars, row_number() OVER
       |        (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
@@ -344,7 +336,7 @@ object OpsWeb extends Suite {
       |       FROM tk, unnest(generate_series(1, len(tk) - 1)) AS t(i)
       |       WHERE len(tk) >= 2),
       |uni AS (SELECT w, count(*) AS cu FROM (
-      |    SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+      |    SELECT unnest(tk) AS w FROM tk) WHERE w <> '' GROUP BY w),
       |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
       |tt AS (SELECT CAST(sum(cu) AS BIGINT) AS tt FROM uni),
       |tb AS (SELECT CAST(sum(cb) AS BIGINT) AS tb FROM bc)
@@ -384,8 +376,13 @@ object OpsWeb extends Suite {
   //    cannot replay, so the gate hash-checks the oracle-computable facts
   //    (item count, token total) and asserts the packing CONTRACT
   //    in-query: every bin within capacity, every item assigned exactly
-  //    once, and the FFD bound n_bins ≤ 11/9·Σ_b ceil(total_b/cap) + B —
-  //    a broken packer flips a boolean and the hash diverges (the
+  //    once, and the FFD bound n_bins ≤ 11/9·Σ_b OPT_lb(b) + B where
+  //    OPT_lb(b) = max(ceil(total_b/cap), #items with len > cap/2) is a
+  //    VALID lower bound on the per-bucket optimum (volume bound +
+  //    pigeonhole: two >cap/2 items can never share a bin) — ceil alone
+  //    is not, since FFD's 11/9 guarantee is relative to OPT and a
+  //    bucket full of (cap/2, cap] items has OPT = n but volume bound
+  //    ~n/2. A broken packer flips a boolean and the hash diverges (the
   //    recall-twin discipline). ------------------------------------------
   private val packBestFitQ: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -397,7 +394,9 @@ object OpsWeb extends Suite {
     val binLoads = packed.groupBy(col("bin_id"))
       .agg(sum(col("len")).as("load"))
     val bucketBound = packed.groupBy(col("bucket"))
-      .agg(ceil(sum(col("len")).cast("double") / cap).as("optlb"))
+      .agg(greatest(
+        ceil(sum(col("len")).cast("double") / cap).cast("long"),
+        sum(when(col("len") > cap / 2, 1L).otherwise(0L))).as("optlb"))
       .agg(sum(col("optlb")).cast("long").as("optlb"),
         count(lit(1)).as("nbk"))
     val stats = packed.agg(count(lit(1)).as("n_items"),
@@ -501,8 +500,10 @@ object OpsWeb extends Suite {
       |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS tok
       |  FROM cl WHERE len(string_split(clean, ' ')) >= 20),
       |dm AS (SELECT doc_id, n_chars, tok,
-      |    regexp_replace(lower(regexp_extract(canon,
-      |      '^[^/?#]+//([^/?#:]+)', 1)), '^www\.', '') AS domain FROM tk),
+      |    regexp_replace(regexp_replace(lower(regexp_replace(
+      |      regexp_extract(canon, '^[^/?#]*//([^/?#]+)', 1),
+      |      '^[^/@]*@', '')), ':[0-9]*$', ''), '^www\.', '')
+      |      AS domain FROM tk),
       |cap AS (SELECT domain, doc_id, tok FROM (
       |    SELECT *, row_number() OVER (PARTITION BY domain
       |      ORDER BY n_chars DESC, doc_id) AS rn2 FROM dm)

@@ -1,0 +1,178 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: synthesize a deterministic ~Rx corpus from sf0.1 by
+  * explode-and-reseed (the PathologicalSpec method scaled up), run the
+  * heavy dedup/ANN/graph query family on both the original and the
+  * scaled corpus, and emit a JSON artifact with per-query timings +
+  * scaling ratios + every in-query gate column re-checked at the larger
+  * SF. This is the evidence behind the "would this hold at 100 TB"
+  * claims: each operator's wall-clock must grow at-most-linearly with
+  * the data (modulo fixed per-query overhead), and every frozen
+  * threshold (IVF probes, recall gates, packing invariants) must stay
+  * green when the corpus it was frozen on grows 10x.
+  *
+  * Corpus construction (deterministic, seedless — pure id arithmetic):
+  *  - documents xR: replica k of doc d gets doc_id = d*R + k and text
+  *    ROTATED by (7k+3) mod len tokens (k = 0 keeps the original).
+  *    Rotation preserves length/vocab distributions and nearly all
+  *    shingles, so each original becomes a cluster of R near-dups —
+  *    exactly the adversarial load a crawl snapshot re-crawl produces.
+  *  - embeddings xR: replica k of vec v gets vec_id = v*R + k and a
+  *    +-0.003 deterministic per-coordinate perturbation — R-sized
+  *    near-neighbor clusters for the ANN/dedup family.
+  *  - every other table is file-copied as-is.
+  *
+  * Quadratic-by-design validation gates (crossJoin exact baselines) run
+  * at a smaller replication (default 3x) — the baseline is the
+  * validation twin, not the production path, and 10x would square to a
+  * 100x baseline cost that measures DuckDB-free assertion code, not the
+  * operator. The production paths those gates certify run at the full
+  * R in the main list.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [outJson] [R] [gateR]
+  */
+object ScaleProbe {
+
+  /** Heavy linear-path queries probed at full R. */
+  private val heavy = Seq(
+    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_prefix",
+    "llm_dedup_substring", "llm_dedup_lines", "llm_url_dedup",
+    "llm_winnow", "llm_fingerprint_groups",
+    "llm_pagerank", "llm_trustrank", "llm_hits", "llm_link_stats",
+    "llm_domain_cap", "llm_html_extract", "llm_pipeline_web",
+    "llm_lm_kneser_ney", "llm_dsir_select", "llm_quality_classifier",
+    "llm_pack_bestfit", "llm_ccnet_buckets", "llm_embed_ivf_topk",
+    "llm_semantic_dedup_ivf", "llm_bpe_encode")
+
+  /** Gate queries whose exact baselines are quadratic validation twins —
+    * probed at gateR. Their boolean gate columns must be all-true. */
+  private val gates = Seq(
+    "llm_dedup_simhash_recall", "llm_embed_ann_recall",
+    "llm_embed_pq_recall", "llm_embed_cluster_recall",
+    "llm_hard_negatives_ivf", "llm_bitext_mine", "llm_pack_bestfit")
+
+  private def synth(spark: SparkSession, src: String, out: String,
+                    r: Int): Unit = {
+    val done = new java.io.File(out, "_PROBE_READY")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs
+      .withColumn("k", explode(sequence(lit(0), lit(r - 1))))
+      .withColumn("tk", split(trim(col("text")), "\\s+"))
+      .withColumn("rot",
+        pmod(col("k") * 7 + 3, greatest(size(col("tk")), lit(1)))
+          .cast("int"))
+      .select(
+        (col("doc_id") * r + col("k")).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(array_join(concat(
+            expr("slice(tk, rot + 1, size(tk) - rot)"),
+            expr("slice(tk, 1, rot)")), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast(
+        docs.schema("n_chars").dataType))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb
+      .withColumn("k", explode(sequence(lit(0), lit(r - 1))))
+      .select(
+        (col("vec_id") * r + col("k")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x + (((k * 31 + i) % 7) - 3) * 0.001 AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events").foreach { t =>
+      val srcP = java.nio.file.Paths.get(s"$src/$t.parquet")
+      if (java.nio.file.Files.exists(srcP)) {
+        val d = java.nio.file.Paths.get(s"$out/$t.parquet")
+        if (!java.nio.file.Files.exists(d))
+          java.nio.file.Files.copy(srcP, d)
+      }
+    }
+    done.createNewFile(); ()
+  }
+
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("BENCH_SCALE_r07.json")
+    val r = if (args.length > 1) args(1).toInt else 10
+    val gateR = if (args.length > 2) args(2).toInt else 3
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = s"target/scale-probe/x$r"
+    val gateDir = s"target/scale-probe/x$gateR"
+    synth(spark, src, bigDir, r)
+    synth(spark, src, gateDir, gateR)
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** Gate columns (…_ok / recall_full booleans) must be all-true. */
+    def gateCheck(name: String, dir: String): (Boolean, String) = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val gateCols = df.schema.fields.filter(f =>
+        f.dataType == org.apache.spark.sql.types.BooleanType &&
+          (f.name.endsWith("_ok") || f.name == "recall_full")).map(_.name)
+      if (gateCols.isEmpty) (true, "no-gate-cols")
+      else {
+        val bad = df.select(gateCols.map(c =>
+          sum(when(!col(c) || col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
+          .head()
+        val failing = gateCols.zipWithIndex
+          .filter { case (_, i) => bad.getLong(i) > 0 }.map(_._1)
+        (failing.isEmpty,
+          if (failing.isEmpty) gateCols.mkString("+")
+          else "FAIL:" + failing.mkString(","))
+      }
+    }
+
+    // warmup at sf0.001 (JIT the plan shapes)
+    val warm = "/root/testdata/sf0.001"
+    (heavy ++ gates).distinct.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
+    val rows = heavy.map { n =>
+      val t1 = math.min(time(n, src), time(n, src))
+      val tR = math.min(time(n, bigDir), time(n, bigDir))
+      val ratio = tR / math.max(t1, 1e-9)
+      println(f"[probe] $n%-28s sf0.1 ${t1}%7.2fs  x$r ${tR}%7.2fs  ratio ${ratio}%5.2f")
+      s""""$n":{"sf01_sec":${s3(t1)},"x${r}_sec":${s3(tR)},"ratio":${s3(ratio)}}"""
+    }
+    val gateRows = gates.map { n =>
+      val t0 = System.nanoTime()
+      val (ok, detail) = gateCheck(n, gateDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-gate] $n%-28s x$gateR ${sec}%7.2fs  ok=$ok ($detail)")
+      s""""$n":{"x${gateR}_sec":${s3(sec)},"gates_green":$ok,"gate_cols":"$detail"}"""
+    }
+    val allGreen = !gateRows.exists(_.contains("\"gates_green\":false"))
+    val json =
+      s"""{"probe":"explode-and-reseed","replication":$r,"gate_replication":$gateR,"src":"$src","queries":{${rows.mkString(",")}},"gates":{${gateRows.mkString(",")}},"all_gates_green":$allGreen}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}

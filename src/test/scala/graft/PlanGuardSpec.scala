@@ -75,16 +75,11 @@ class PlanGuardSpec extends SparkSpec {
                                      // are checkpoint-truncated)
     "llm_trustrank" -> 1,            // same shape, seeded teleport
     "llm_hits" -> 1,                 // same shape (×N emit broadcast)
-    "llm_link_stats" -> 12,          // 1-row node-count broadcast inside
-                                     // each of the 3 synthetic-edge union
-                                     // branches, rendered under both the
-                                     // out-degree and in-degree aggregates
-                                     // (2 scans of the edge list by design
-                                     // — cheaper than persisting a
-                                     // corpus-scale edge set for one
-                                     // reuse); doubled again in TEXT when
-                                     // the rank queries' scoped caches
-                                     // render their subtrees inline
+    "llm_link_stats" -> 2,           // since the round-7 edges-table
+                                     // promotion the degree aggregates
+                                     // SCAN parquet (no more derivation
+                                     // broadcasts); residual 1-row
+                                     // crosses only
     "llm_collocations" -> 2,         // 1-row token-total + bigram-total
                                      // aggregates crossed into the
                                      // bigram-type table
@@ -204,7 +199,12 @@ class PlanGuardSpec extends SparkSpec {
     // + the authority ⋈ hub fuse — node-scale SMJs co-partitioned on the
     // id, the right plan at any scale (AQE broadcasts them at gate SF)
     "llm_hits" -> (7, 3, 0, 2),
-    "llm_link_stats" -> (29, 0, 0, 6),
+    // link_stats collapsed 29 → 5 exchanges in round 7: the promoted
+    // edges PARQUET table (Tables.edges) is scanned once per degree agg
+    // instead of re-deriving the 3-branch synthetic union under both;
+    // pushed-min 0: after the rank queries the nodes-side scans render
+    // as scoped-cache InMemoryRelations (no PushedFilters in TEXT)
+    "llm_link_stats" -> (5, 0, 0, 0),
     "llm_domain_cap" -> (2, 0, 2, 0),
     "llm_html_extract" -> (1, 0, 0, 0),
     "op_interval_join" -> (3, 0, 0, 2),

@@ -123,9 +123,15 @@ class ScaleSpec extends SparkSpec {
     // capacity respected per bin
     val loads = got.groupBy(_._4).view.mapValues(_.map(_._2).sum)
     assert(loads.values.forall(_ <= cap))
-    // FFD bound per bucket sum: n_bins <= 11/9 * sum_b ceil(total_b/cap) + B
-    val perBucket = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
-    val optLb = perBucket.values.map(t => (t + cap - 1) / cap).sum
+    // FFD bound per bucket sum: n_bins <= 11/9 * sum_b OPT_lb(b) + B with
+    // OPT_lb(b) = max(ceil(total_b/cap), #items with len > cap/2) — the
+    // valid per-bucket OPT lower bound (volume + pigeonhole)
+    val byBucket = got.groupBy(_._3)
+    val perBucket = byBucket.view.mapValues(_.map(_._2).sum)
+    val optLb = byBucket.map { case (b, items) =>
+      val total = items.map(_._2).sum
+      math.max((total + cap - 1) / cap, items.count(_._2 > cap / 2).toLong)
+    }.sum
     assert(loads.size <= 11.0 / 9.0 * optLb + perBucket.size)
     // rerun-identical assignment (deterministic hash bucketing + ordering)
     assert(run().sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
@@ -136,6 +142,33 @@ class ScaleSpec extends SparkSpec {
     }._1
     assert(loads.size <= seqBins + perBucket.size,
       s"FFD ${loads.size} bins vs sequential $seqBins (+bucket slack)")
+  }
+
+  test("packBestFit: all-items-in-(cap/2,cap] packs one-per-bin and the " +
+    "pigeonhole OPT bound holds where the volume bound alone would not") {
+    // every item ~300 at cap 512: OPT = n (no two can share), volume
+    // lower bound ~ n*300/512 < n — the unsound bound would flag a
+    // CORRECT packer here; the pigeonhole term keeps the gate sound
+    val df = (1 to 200).map(i => (i.toLong, 300L)).toDF("id", "len")
+    val cap = 512L
+    val got = Scale.packBestFit(df, "id", "len", cap, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    val loads = got.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    assert(loads.size == 200)          // one bin per item, forced
+    assert(loads.values.forall(_ <= cap))
+    val byBucket = got.groupBy(_._3)
+    val optLb = byBucket.map { case (_, items) =>
+      val total = items.map(_._2).sum
+      math.max((total + cap - 1) / cap, items.count(_._2 > cap / 2).toLong)
+    }.sum
+    assert(loads.size <= 11.0 / 9.0 * optLb + byBucket.size)
+    // and the volume-only bound would indeed have been violated
+    val volOnly = byBucket.map { case (_, items) =>
+      val total = items.map(_._2).sum; (total + cap - 1) / cap
+    }.sum
+    assert(loads.size > 11.0 / 9.0 * volOnly + byBucket.size,
+      "scenario no longer exercises the unsound-bound gap")
   }
 
   test("packBestFit: oversize and non-positive items are excluded, " +

@@ -60,6 +60,38 @@ class SelectionSpec extends SparkSpec {
     assert(out(2) == ((3L, 2L, 1L, "p q r s")))
   }
 
+  test("substringDedup flags an UNALIGNED copy as one exact span, " +
+    "keeps the donor, and merges within-doc repeats") {
+    // 26 unique tokens t0..t25 in the donor; doc 2 copies donor tokens
+    // t5..t24 (a 20-token run) at an UNALIGNED offset after a 3-token
+    // preamble; window length L = 6.
+    val donor = (0 until 26).map(i => s"t$i").mkString(" ")
+    val copied = (5 until 25).map(i => s"t$i").mkString(" ") // 20 tokens
+    val df = Seq(
+      (1L, donor),
+      (2L, s"x1 x2 x3 $copied z1 z2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8")  // unique — no spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", L = 6)
+      .select(col("doc_id"), col("span_start").cast("long"),
+        col("span_end").cast("long"), col("n_dup_windows"))
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    // the donor keeps everything (first occurrence); doc 2's copied run
+    // spans tokens 4..23 (1-based, after the 3-token preamble), covered
+    // by 20 - 6 + 1 = 15 duplicated windows merged into ONE span
+    assert(out.toSeq == Seq((2L, 4L, 23L, 15L)))
+    // keep-first is corpus-wide: swapping ids moves the cut to doc 11
+    val swapped = Seq((10L, s"x1 x2 x3 $copied z1 z2"), (11L, donor))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.substringDedup(swapped, "doc_id", "text", L = 6)
+      .select(col("doc_id"), col("span_start").cast("long"),
+        col("span_end").cast("long"), col("n_dup_windows"))
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out2.toSeq == Seq((11L, 6L, 25L, 15L)))
+  }
+
   test("segmentDedup dup_ratio is exact and zero for unique docs") {
     val df = Seq((1L, "u v w x"), (2L, "m n o p")).toDF("doc_id", "text")
     val out = Dedup.segmentDedup(df, "doc_id", "text", 2)

@@ -307,6 +307,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: windowed agg and custom-state transitions " +
+    "produce the same outputs as the default provider") {
+    // The 100 TB bounded-state claim rides on a disk-backed store — state
+    // larger than executor memory must spill to local RocksDB instead of
+    // OOMing the HDFSBackedStateStore's in-memory map. Same computations
+    // as the in-memory-provider tests, same expected outputs.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // stateful windowed aggregation over the staged events table
+      val t = Tables(spark, sf)
+      val (stream, _) = stagedEventsStream()
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val qname = "stream_rocks_" + System.nanoTime()
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table(qname)
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        val batch = t.events
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        assert(streamed.nonEmpty && streamed == batch)
+      } finally q.stop()
+      // custom flatMapGroupsWithState state (transitions frontier) under
+      // RocksDB, across micro-batches
+      implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sqlContext
+      def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val out = graft.streaming.StreamOps.transitions(
+        in.toDF.toDF("user_id", "ts", "event_id", "event_type"))
+      val qname2 = "stream_rocks_tr_" + System.nanoTime()
+      val q2 = out.writeStream.outputMode("append")
+        .format("memory").queryName(qname2).start()
+      try {
+        in.addData((1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"))
+        q2.processAllAvailable()
+        in.addData((1L, ts(5), 3L, "purchase"), (1L, ts(0), 4L, "stale"))
+        q2.processAllAvailable()
+        val got = spark.table(qname2)
+          .select("user_id", "from_type", "to_type")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        assert(got == Set((1L, "view", "click"), (1L, "click", "purchase")))
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming transitions carry the frontier across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -62,6 +62,25 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin/asofJoinNearest: NULL payload fields of the matched " +
+    "right row stay null (no backfill from an older right row)") {
+    // right row at 200 has v = null; a left probe at 205 must match the
+    // 200 row and surface matched_v = NULL — a per-column last() would
+    // silently pull v = 1.0 from the OLDER row at 100, mixing rows
+    val l = Seq((1L, "a", 205L), (2L, "a", 105L)).toDF("id", "k", "t")
+    val r = Seq(("a", 100L, Some(1.0)), ("a", 200L, None))
+      .toDF("k", "rt", "v")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val m = df.select("id", "matched_rt", "matched_v").collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getDouble(2))))).toMap
+      assert(m(1L) == ((200L, None)), s"null field backfilled: $m")
+      assert(m(2L) == ((100L, Some(1.0))))
+    }
+    check(Temporal.asofJoin(l, r, Seq("k"), "t", "rt"))
+    check(Temporal.asofJoinNearest(l, r, Seq("k"), "t", "rt"))
+  }
+
   test("asofJoin backward matches brute-force most-recent-at-or-before") {
     val got = Temporal.asofJoin(left, right, Seq("k"), "t", "rt")
       .select("id", "matched_rt", "matched_v")
