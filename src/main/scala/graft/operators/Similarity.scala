@@ -51,6 +51,45 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(zip_with(a, a, (p, q) => p * q), lit(0.0), _ + _))
 
+  /** Per-row centroid scores as ONE array<struct<c:double, i:int>> column
+    * (cosine of `v` against every centroid, index attached for
+    * argmax/top-probe selection). Two regimes:
+    *  - nlist <= 64: per-centroid literal expansion over the codegen'd
+    *    [[graft.expressions.VectorCosine]] kernel — fastest per row, and
+    *    the historical (gate-pinned) formulation.
+    *  - nlist > 64: the [[graft.expressions.CentroidCosines]] matrix
+    *    kernel — ONE flat row-major centroid matrix walked in a compiled
+    *    loop, plan size O(1) in nlist. The literal expansion generates
+    *    janino code quadratic-ish in nlist and falls off whole-stage
+    *    codegen past ~64 cells (the round-7 scale probe measured 424 s
+    *    to assign 20k vectors to 313 cells that way), and the
+    *    higher-order-function formulation pays an interpreted lambda per
+    *    ELEMENT (132 s measured). At 100 TB nlist is thousands; the
+    *    matrix kernel IS the production path.
+    * Ties break to the higher index in both regimes (array_max struct
+    * ordering). */
+  private def centroidScores(df: DataFrame, centroids: Array[Array[Double]],
+                             v: Column): Column =
+    if (centroids.length <= 64) {
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(fastCosine(df)(v, typedLit(c.toSeq)).as("c"),
+          lit(i).as("i"))
+      }: _*)
+    } else {
+      val dim = centroids.head.length
+      val flat = new Array[Double](centroids.length * dim)
+      var i = 0
+      while (i < centroids.length) {
+        System.arraycopy(centroids(i), 0, flat, i * dim, dim); i += 1
+      }
+      val cos = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.CentroidCosines(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+          flat, dim))
+      zip_with(cos, sequence(lit(0), lit(centroids.length - 1)),
+        (c, i) => struct(c.as("c"), i.cast("int").as("i")))
+    }
+
   /** Exact top-k by cosine for a single query row. `query` must be a
     * one-row DataFrame with `(qCol: array)` — broadcast, so the corpus scan
     * is embarrassingly parallel and the global top-k is a
@@ -222,13 +261,10 @@ object Similarity {
     }
     // distributed one-pass assignment: argmax over (cosine, index) structs;
     // struct ordering picks the max cosine (ties break to the higher index
-    // deterministically)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(fastCosine(corpus)(v, typedLit(c.toSeq)).as("c"),
-        lit(i).as("i"))
-    }
+    // deterministically); plan size stays O(1) in nlist past 64 cells
+    // (centroidScores HOF regime)
     val assigned = corpus.withColumn("cluster",
-      array_max(array(scored: _*)).getField("i"))
+      array_max(centroidScores(corpus, centroids, v)).getField("i"))
     IvfIndex(assigned, centroids)
   }
 
@@ -332,16 +368,13 @@ object Similarity {
       if (probes <= 1) index.assignments
       else {
         val v = col(vecCol).cast("array<double>")
-        val scored = index.centroids.zipWithIndex.map { case (c, i) =>
-          struct(fastCosine(corpus)(v, typedLit(c.toSeq)).as("c"),
-            lit(i).as("i"))
-        }
         // explode_outer + null filter: a plain explode would get
         // size/isnotnull filters inferred beneath it that re-inline (and
         // re-evaluate) all nlist centroid cosines per row
         corpus.withColumn("cluster",
             explode_outer(transform(
-              slice(reverse(array_sort(array(scored: _*))), 1, probes),
+              slice(reverse(array_sort(
+                centroidScores(corpus, index.centroids, v))), 1, probes),
               s => s.getField("i"))))
           .filter(col("cluster").isNotNull)
       }

@@ -949,11 +949,22 @@ object OpsLlm extends Suite {
   // -- semantic dedup, IVF-blocked scale mode (rows-only: cluster blocking
   //    is approximate; recall + false-positive-free contracts are gated in
   //    LlmOpsSpec against the exact mode). This is the variant the bench
-  //    measures — the exact mode is the quadratic validation baseline. ----
+  //    measures — the exact mode is the quadratic validation baseline.
+  //    nlist is CORPUS-SIZED (cells ~64 vectors) with probes a small
+  //    CONSTANT: the round-7 scale probe caught the fixed nlist=32 going
+  //    18.6x at 10x data — cells grew linearly with N, the within-cell
+  //    verify quadratically. With nlist = N/64 candidate mass is
+  //    N^2·p^2/(2·nlist) = 32·p^2·N — LINEAR in N; scaling probes with
+  //    nlist instead (an early attempt) re-quadratizes it (each vector
+  //    lands in p cells, so candidates grow p^2). At the gate SFs
+  //    (N <= 2048) the formula reproduces the frozen 32/3 exactly, so
+  //    gated output is byte-identical. ----------------------------------
   private val semanticDedupIvf: Q = (s, dir) => {
     val t = Tables(s, dir)
+    val n = t.embeddings.count()
+    val nlist = math.max(32, math.ceil(n / 64.0).toInt)
     Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
-        threshold = 0.45, nlist = 32, probes = 3)
+        threshold = 0.45, nlist = nlist, probes = 3)
       .select(col("vec_id"))
       .orderBy(col("vec_id"))
   }

@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * operator. The production paths those gates certify run at the full
   * R in the main list.
   *
-  * Usage: runMain graft.tools.ScaleProbe [outJson] [R] [gateR]
+  * Usage: runMain graft.tools.ScaleProbe [outJson] [R] [gateR] [only]
+  * (`only` = comma-separated query-name filter for re-probing)
   */
 object ScaleProbe {
 
@@ -105,6 +106,9 @@ object ScaleProbe {
     val outJson = args.headOption.getOrElse("BENCH_SCALE_r07.json")
     val r = if (args.length > 1) args(1).toInt else 10
     val gateR = if (args.length > 2) args(2).toInt else 3
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set.empty
+    def keep(n: String) = only.isEmpty || only(n)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -148,20 +152,20 @@ object ScaleProbe {
 
     // warmup at sf0.001 (JIT the plan shapes)
     val warm = "/root/testdata/sf0.001"
-    (heavy ++ gates).distinct.foreach { n =>
+    (heavy ++ gates).distinct.filter(keep).foreach { n =>
       try graft.SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val rows = heavy.map { n =>
+    val rows = heavy.filter(keep).map { n =>
       val t1 = math.min(time(n, src), time(n, src))
       val tR = math.min(time(n, bigDir), time(n, bigDir))
       val ratio = tR / math.max(t1, 1e-9)
       println(f"[probe] $n%-28s sf0.1 ${t1}%7.2fs  x$r ${tR}%7.2fs  ratio ${ratio}%5.2f")
       s""""$n":{"sf01_sec":${s3(t1)},"x${r}_sec":${s3(tR)},"ratio":${s3(ratio)}}"""
     }
-    val gateRows = gates.map { n =>
+    val gateRows = gates.filter(keep).map { n =>
       val t0 = System.nanoTime()
       val (ok, detail) = gateCheck(n, gateDir)
       val sec = (System.nanoTime() - t0) / 1e9
