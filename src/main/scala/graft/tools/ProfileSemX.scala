@@ -35,6 +35,10 @@ object ProfileSemX {
     time("assignment materialize") {
       idx.assignments.write.format("noop").mode("overwrite").save()
     }
+    time("multi-probe asg materialize") {
+      Similarity.multiProbeAssignments(idx, "embedding", 3)
+        .write.format("noop").mode("overwrite").save()
+    }
     val pairs = Similarity.clusterPairs(idx, "vec_id", "embedding", 0.45, 3)
     time("clusterPairs p=3 count") {
       println("  [psx] pairs=" + pairs.count())
