@@ -150,6 +150,26 @@ class PathologicalSpec extends SparkSpec {
     assert(agg.getLong(2) == 49999L)       // later copies fully emptied
   }
 
+  test("all-identical corpus: substringDedup keeps the min-id doc whole " +
+    "and cuts every other doc as exactly ONE full-width span") {
+    // 20k byte-identical 12-token docs at L=6: each window text occurs at
+    // ONE position per doc, so canonicalization collapses to (doc 0, i)
+    // for every gram; all other docs get one merged span [1, 12] built
+    // from 12-6+1 = 7 duplicated windows. The hot md5 groups are 20k
+    // occurrences each — the min-struct agg stays 1 row per key.
+    val df = spark.range(20000L).select(col("id").as("doc_id"),
+      lit("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11").as("text"))
+    val out = graft.operators.Dedup.substringDedup(df, "doc_id", "text", 6)
+    val agg = out.agg(
+      count(lit(1)), min(col("doc_id")), max(col("doc_id")),
+      sum(when(col("span_start") === 1 && col("span_end") === 12 &&
+        col("n_dup_windows") === 7, 1L).otherwise(0L))).first()
+    assert(agg.getLong(0) == 19999L)  // one span row per later copy
+    assert(agg.getLong(1) == 1L)      // doc 0 (canonical) emits nothing
+    assert(agg.getLong(2) == 19999L)
+    assert(agg.getLong(3) == 19999L)  // every span is the full document
+  }
+
   test("ultra-hot DSIR bucket: one gram dominating the corpus still " +
     "yields a broadcastable ratio table bounded by the bucket count") {
     // 20k docs all repeating one gram + a unique tail token: the hot

@@ -26,19 +26,25 @@ class TemporalPropsSpec extends SparkSpec {
       } yield (k, t))
     } yield (l, r.distinct) // right unique on (k, t): operator contract
 
-  test("asofJoin matches an in-memory reference on random data") {
+  test("asofJoin matches an in-memory reference on random data, and " +
+    "matched payload fields come from the SAME right row (nulls kept)") {
     cases(genData).foreach { case (lRows, rRows) =>
       val left = lRows.zipWithIndex
         .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
-      val right = rRows.map { case (k, t) => (k, t, t * 2.0) }
+      // payload v is rt-derived but NULL for every third right row — the
+      // struct-carry contract: a null field of the matched row must stay
+      // null, never backfill from an older row
+      val right = rRows.map { case (k, t) =>
+        (k, t, if (t % 3 == 0) None else Some(t * 2.0)) }
         .toDF("k", "rt", "v")
       val byKey = rRows.groupBy(_._1)
       for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(15L))) {
         val got = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
             dir, tol)
-          .select("id", "matched_rt")
+          .select("id", "matched_rt", "matched_v")
           .collect().map(r => (r.getLong(0),
-            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+             if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
         val want = lRows.zipWithIndex.map { case ((k, t), i) =>
           val cands = byKey.getOrElse(k, Nil).map(_._2)
           val nearest =
@@ -46,7 +52,9 @@ class TemporalPropsSpec extends SparkSpec {
             else cands.filter(_ >= t).minOption
           val gapped = nearest.filter(rt =>
             tol.forall(m => math.abs(t - rt) <= m))
-          i.toLong -> gapped
+          val v = gapped.flatMap(rt =>
+            if (rt % 3 == 0) None else Some(rt * 2.0))
+          i.toLong -> ((gapped, v))
         }.toMap
         assert(got == want, s"dir=$dir tol=$tol")
       }
