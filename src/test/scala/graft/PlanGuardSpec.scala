@@ -180,6 +180,10 @@ class PlanGuardSpec extends SparkSpec {
     // label-join consumers).
     "llm_dsir_select" -> (11, 0, 0, 2),
     "llm_dedup_lines" -> (4, 0, 0, 0),
+    // round-7: window-digest agg + min-struct canon + islands window; the
+    // 1 static SMJ is the planted-construction donor self-join on
+    // doc_id-7 (AQE broadcasts it at gate SF), not the operator
+    "llm_dedup_substring" -> (6, 1, 0, 2),
     "llm_normalize" -> (1, 0, 0, 0),
     "llm_salted_join" -> (4, 0, 0, 2),
     "llm_snapshot_diff" -> (4, 1, 0, 2),
