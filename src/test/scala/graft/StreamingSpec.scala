@@ -367,6 +367,45 @@ class StreamingSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
         assert(got == Set((1L, "view", "click"), (1L, "click", "purchase")))
       } finally q2.stop()
+      // event-time TIMER state (flatMapGroupsWithState sessionize with
+      // EventTimeTimeout) under RocksDB — timers are a separate state
+      // surface from the value store; the late in-gap event must still
+      // extend the session start before the timeout closes it
+      val base = java.sql.Timestamp.valueOf("2024-06-01 12:10:00")
+      val early = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+      val flush = java.sql.Timestamp.valueOf("2024-09-01 00:00:00")
+      val dir = java.nio.file.Files.createTempDirectory("graft-rocks-sess")
+      def write(name: String,
+                rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+        rows.toDF("user_id", "ts", "value").coalesce(1)
+          .write.mode("overwrite").parquet(dir.resolve(name).toString)
+      write("f1", Seq((1L, base, 1.0)))
+      write("f2", Seq((1L, early, 2.0), (99L, flush, 0.0)))
+      val staged = java.nio.file.Files.createTempDirectory("graft-rocks-src")
+      Seq("f1", "f2").zipWithIndex.foreach { case (n, i) =>
+        val src = java.nio.file.Files.list(dir.resolve(n)).toArray
+          .map(_.toString).filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+          staged.resolve(s"0$i-$n.parquet"))
+      }
+      val schema = spark.read.parquet(staged.toString).schema
+      val sessStream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val sessions = graft.streaming.StreamOps.sessionize(
+        sessStream, gapMinutes = 30, watermarkDelay = "1 hour")
+      val qname3 = "stream_rocks_sess_" + System.nanoTime()
+      val q3 = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(qname3).start()
+      try {
+        q3.processAllAvailable()
+        val out = spark.table(qname3).filter(col("user_id") === 1L).collect()
+        assert(out.length == 1)
+        val r = out.head
+        assert(r.getAs[java.sql.Timestamp]("session_start") == early)
+        assert(r.getAs[java.sql.Timestamp]("session_end") == base)
+        assert(r.getAs[Long]("n_events") == 2L)
+        assert(math.abs(r.getAs[Double]("session_value") - 3.0) < 1e-9)
+      } finally q3.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
