@@ -46,7 +46,15 @@ object ScaleProbe {
     "llm_domain_cap", "llm_html_extract", "llm_pipeline_web",
     "llm_lm_kneser_ney", "llm_dsir_select", "llm_quality_classifier",
     "llm_pack_bestfit", "llm_ccnet_buckets", "llm_embed_ivf_topk",
-    "llm_semantic_dedup_ivf", "llm_bpe_encode")
+    "llm_semantic_dedup_ivf", "llm_bpe_encode",
+    // temporal/event family (events replicated with fresh user ids, so
+    // window partitions multiply — the shape a 10x event stream has)
+    "op_asof_join", "op_asof_nearest", "events_sessionize",
+    "events_dedup_window", "events_resample", "events_transitions",
+    // wider text-analysis battery
+    "llm_bm25", "llm_tfidf_pairs", "llm_keywords", "llm_collocations",
+    "llm_token_entropy", "llm_gopher_filters", "llm_lm_bigram",
+    "llm_corpus_kl", "llm_mojibake", "llm_normalize")
 
   /** Gate queries whose exact baselines are quadratic validation twins —
     * probed at gateR. Their boolean gate columns must be all-true. */
@@ -87,8 +95,16 @@ object ScaleProbe {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev
+      .withColumn("k", explode(sequence(lit(0), lit(r - 1))))
+      .select(
+        (col("event_id") * r + col("k")).as("event_id"), col("ts"),
+        (col("user_id") * r + col("k")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events").foreach { t =>
+        "lineitem").foreach { t =>
       val srcP = java.nio.file.Paths.get(s"$src/$t.parquet")
       if (java.nio.file.Files.exists(srcP)) {
         val d = java.nio.file.Paths.get(s"$out/$t.parquet")
@@ -120,8 +136,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val bigDir = s"target/scale-probe/x$r"
-    val gateDir = s"target/scale-probe/x$gateR"
+    // v2: events are replicated too (v1 dirs carried a plain copy)
+    val bigDir = s"target/scale-probe/v2-x$r"
+    val gateDir = s"target/scale-probe/v2-x$gateR"
     synth(spark, src, bigDir, r)
     synth(spark, src, gateDir, gateR)
 
