@@ -742,6 +742,92 @@ object Dedup {
     out
   }
 
+  /** [[tfidfCosinePairs]] with PREFIX-FILTERED candidate generation
+    * (Bayardo et al. WWW'07 all-pairs, adapted to the DataFrame posting
+    * plan) — the corpus-scale path for weighted lexical similarity: the
+    * round-7 scale probe measured the plain posting-list join tracking
+    * Σ_t df(t)² pair growth; this variant generates candidates from each
+    * document's weight-bound PREFIX only, and is EXACT (same output).
+    *
+    * Theorem (lossless): fix the global term order (max normalized
+    * weight DESC, term hash ASC) and give every document's term list
+    * that order. Let suffix_bound(pos) = Σ_{j≥pos} w'_d(t_j)·maxw(t_j)
+    * (w' unit-normalized, maxw the corpus-wide max normalized weight of
+    * the term). Since cos(a,b) = Σ_{shared} w'_a·w'_b ≤ suffix_bound of
+    * either side restricted to the shared terms, a pair whose FIRST
+    * shared term (in the global order) falls in a document's tail —
+    * the maximal suffix with bound < t — cannot reach t. So the first
+    * shared term of every qualifying pair lies in BOTH prefixes, and
+    * joining prefixes only misses nothing. The tail is exactly the
+    * low-maxw end of the order, so hot stop-shingles generate no
+    * candidates — the [[prefixJaccardPairs]] discipline for the
+    * weighted-cosine case.
+    *
+    * Verification stays byte-identical to [[tfidfCosinePairs]]: the
+    * exact dot/norm arithmetic over the RAW weights with the same
+    * round(·, 6) emit, so the two operators' outputs hash-equal (the
+    * result-equality gate llm_tfidf_pairs_prefix asserts it against the
+    * same DuckDB oracle). The prefix bound itself uses a − 1e-9 epsilon
+    * that can only LENGTHEN prefixes — float error adds candidates,
+    * never loses a pair.
+    *
+    * When it wins, honestly: prefix length per document is the point
+    * where the remaining weight-bound mass drops below t, so the
+    * candidate-mass reduction is governed by WEIGHT SKEW. On a real
+    * tf-idf corpus (mass concentrated in few rare terms) prefixes are
+    * short and candidates collapse; on the synthetic near-uniform
+    * word-soup bench corpus the reduction is only ~(1−t)² of the
+    * posting mass and the extra window/join overhead dominates — the
+    * measured sf0.1 numbers keep [[tfidfCosinePairs]] as the bench
+    * headline, and this variant is the documented skew-regime path
+    * (equality-gated so switching is always safe). */
+  def tfidfCosinePairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, threshold: Double = 0.5,
+                             maxDocFreq: Option[Int] = Some(500))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1] for the prefix bound")
+    val w = persistScoped(s"tfidfWp:$idCol:$textCol:$n:$maxDocFreq",
+      tfidfWeights(df, idCol, textCol, n, maxDocFreq))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+    val wn = persistScoped(s"tfidfWn:$idCol:$textCol:$n:$maxDocFreq",
+      w.join(norms, idCol)
+        .select(col(idCol), col("sh"), col("wgt"),
+          (col("wgt") / col("nrm")).as("nw")))
+    val maxw = wn.groupBy(col("sh")).agg(max(col("nw")).as("mw"))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("mw").desc, col("sh").asc)
+    val sufBound = sum(col("nw") * col("mw"))
+      .over(byDoc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val pref = wn.join(maxw, "sh")
+      .withColumn("__sb", sufBound)
+      .filter(col("__sb") >= threshold - 1e-9)
+      .select(col("sh"), col(idCol))
+    val cands = pref.select(col("sh"), col(idCol).as("id_a"))
+      .join(pref.select(col("sh"), col(idCol).as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify over the FULL term sets with the raw-weight arithmetic
+    // of tfidfCosinePairs (same formula, same round) — candidates-first,
+    // work proportional to |candidates| × shared terms
+    val wa = wn.select(col(idCol).as("id_a"), col("sh"),
+      col("wgt").as("wgt_a"))
+    val wb = wn.select(col(idCol).as("id_b"), col("sh"),
+      col("wgt").as("wgt_b"))
+    val na = norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a"))
+    val nb = norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b"))
+    cands.join(wa, "id_a").join(wb, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wgt_a") * col("wgt_b")).as("dot"))
+      .join(na, "id_a").join(nb, "id_b")
+      .withColumn("cosine",
+        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** [[shingles]] with term frequencies: one row per (id, shingleHash, tf)
     * where tf counts the shingle's occurrences within the document (the
     * distinct-set form drops multiplicity, which TF-IDF needs). Same

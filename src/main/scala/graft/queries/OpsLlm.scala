@@ -637,6 +637,17 @@ object OpsLlm extends Suite {
       |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -- prefix-filtered TF-IDF cosine pairs (Bayardo all-pairs): the
+  //    corpus-scale twin of llm_tfidf_pairs — EXACT same output through
+  //    weight-bound prefix candidate generation instead of full posting
+  //    lists, gated against the SAME DuckDB oracle (result equality). ---
+  private val tfidfPairsPrefix: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.tfidfCosinePairsPrefix(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // -- MinHash-LSH near-dup pairs. Candidates are re-scored with exact
   //    Jaccard, and at threshold 0.9 with k=64/bands=16 the per-pair miss
   //    probability is ~(1-0.9^4)^16 ≈ 4e-8 — deterministic hashes make the
@@ -1562,6 +1573,7 @@ object OpsLlm extends Suite {
     "llm_dedup_containment" -> dedupContainment,
     "llm_novelty" -> novelty,
     "llm_tfidf_pairs" -> tfidfPairs,
+    "llm_tfidf_pairs_prefix" -> tfidfPairsPrefix,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
     "llm_dedup_survivors_best" -> dedupSurvivorsBest,
@@ -1613,6 +1625,7 @@ object OpsLlm extends Suite {
     "llm_dedup_containment" -> dedupContainmentSql,
     "llm_novelty" -> noveltySql,
     "llm_tfidf_pairs" -> tfidfPairsSql,
+    "llm_tfidf_pairs_prefix" -> tfidfPairsSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_dedup_survivors" -> dedupSurvivorsSql,

@@ -52,7 +52,8 @@ object ScaleProbe {
     "op_asof_join", "op_asof_nearest", "events_sessionize",
     "events_dedup_window", "events_resample", "events_transitions",
     // wider text-analysis battery
-    "llm_bm25", "llm_tfidf_pairs", "llm_keywords", "llm_collocations",
+    "llm_bm25", "llm_tfidf_pairs",
+    "llm_keywords", "llm_collocations",
     "llm_token_entropy", "llm_gopher_filters", "llm_lm_bigram",
     "llm_corpus_kl", "llm_mojibake", "llm_normalize")
 

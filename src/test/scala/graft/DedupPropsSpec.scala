@@ -49,6 +49,25 @@ class DedupPropsSpec extends SparkSpec {
     }
   }
 
+  test("tfidfCosinePairsPrefix equals tfidfCosinePairs on random corpora " +
+    "(prefix candidate generation is lossless, scoring byte-identical)") {
+    cases(genCorpus, 6).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        graft.operators.Dedup.releaseCaches()
+        val plain = Dedup.tfidfCosinePairs(df, "doc_id", "text", 3, t)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        graft.operators.Dedup.releaseCaches()
+        val pref = Dedup.tfidfCosinePairsPrefix(df, "doc_id", "text", 3, t)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(pref == plain, s"threshold=$t docs=$docs")
+      }
+    }
+  }
+
   test("duplicateSpans matches an in-memory islands reference on random corpora") {
     val L = 4
     cases(genCorpus, 6).foreach { docs =>
