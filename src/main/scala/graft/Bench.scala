@@ -186,23 +186,25 @@ object Bench {
       var othersSec = 0.0
       rest.sortBy { case (_, (v, _)) => -v }.foreach { case (k, (v, _)) =>
         val e = "\"" + k + "\":" + s3(v)
-        if (bytes + e.length + 1 <= 1350) { entries += e; bytes += e.length + 1 }
+        if (bytes + e.length + 1 <= 1150) { entries += e; bytes += e.length + 1 }
         else { others += 1; othersSec += math.max(v, 0.0) }
       }
       entries += "\"others_sec\":" + s3(othersSec)
       entries += "\"others_n\":" + others
       entries.mkString("{", ",", "}")
     }
-    // stable shape: "passes" is ALWAYS the single int (the minimum), with
-    // the per-query map added only when counts diverge — parsers written
-    // against the common case keep working on the runs that matter most
+    // stable shape: "passes" is ALWAYS the single int (the minimum); the
+    // fast-tail median-of-5 queries are summarized as one count (a full
+    // per-query pass map would add ~2.5 KB and push the line's HEAD out
+    // of the driver's 2000-byte tail capture — exactly the failure the
+    // byte budget exists to prevent; per-query counts live in
+    // target/bench_full.json and the committed BENCH_LOCAL artifacts)
     val passVals = results.map(_._2._2)
     val ps = if (passVals.isEmpty) "0" else passVals.min.toString
     val psByQuery =
       if (passVals.distinct.size <= 1) ""
-      else ",\"passes_by_query\":" + results
-        .map { case (k, (_, p)) => "\"" + k + "\":" + p }
-        .mkString("{", ",", "}")
+      else ",\"passes_fast\":" + passVals.max +
+        ",\"fast_n\":" + passVals.count(_ == passVals.max)
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val sentinelLast = math.min(sentinelPass(), sentinelPass())
     val contended =
@@ -222,15 +224,16 @@ object Bench {
     // logging would otherwise land after it and push it out of the
     // driver's fixed-size tail capture.
     spark.stop()
-    println(line)
-    Console.out.flush()
-    // The driver's extractor reads the process output tail, and sbt's
-    // in-process `run` routes BOTH System.out and System.err through its
-    // logger with "[info] "/"[error] " prefixes (measured: the r6 line
-    // survived the tail but arrived prefixed — the most likely reason the
-    // driver recorded parsed:null). Writing to FileDescriptor.out
-    // bypasses sbt's stream redirection entirely: the JSON lands on the
-    // real process stdout as a bare line, last thing we write.
+    // The driver's extractor reads the process output tail; sbt's default
+    // output strategy re-logs forked-run output with "[info] "/"[error] "
+    // prefixes (the r6 line survived the tail but arrived prefixed — the
+    // most likely reason the driver recorded parsed:null), so build.sbt
+    // sets run/outputStrategy := StdoutOutput and the line below lands
+    // BARE on the real process stdout via FileDescriptor.out, as the last
+    // thing this process writes. ONE copy only: the tail window must hold
+    // the full line plus sbt's ~72-byte success trailer, and the query
+    // map's byte budget above is sized so line + trailer < 2000 bytes
+    // with margin.
     val rawOut = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
     rawOut.println(line)
