@@ -54,6 +54,12 @@ class PlanGuardSpec extends SparkSpec {
                                      // under dots + both norm joins, so the
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
+    "llm_tfidf_pairs_prefix" -> 16,  // the SAME single 1-row idf-N scalar
+                                     // cross, rendered once per consumer of
+                                     // the two scoped-cached relations (the
+                                     // weight table feeds norms/maxw/prefix
+                                     // sides/verify sides) — 14 printed, one
+                                     // executed; margin for AQE reprints
     "llm_ccnet_buckets" -> 8,        // two 1-row scalar crosses (LM totals
                                      // n/v and the n_docs count); the
                                      // persisted scored set renders its
