@@ -60,9 +60,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     * unchanged. Build is atomic (temp dir + rename) and idempotent;
     * concurrent same-JVM callers serialize on [[Tables]]. */
   def edges: DataFrame = {
+    // cache key = source path + derivation-rule version + the documents
+    // file's size and mtime: regenerated source data or a changed rule
+    // gets a FRESH cache dir instead of silently serving a stale graph
+    // (the oracle CTEs re-derive from the CURRENT documents every run,
+    // so a stale cache would hash-mismatch with nothing pointing at it)
+    val srcFile = new java.io.File(dir, "documents.parquet")
+    val stamp = new java.io.File(dir).getCanonicalPath +
+      s":${Tables.EdgeRuleVersion}:${srcFile.length}:${srcFile.lastModified}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(dir).getCanonicalPath
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val cacheDir = new java.io.File("target/graft-edges", key)
     if (!cacheDir.isDirectory) Tables.edgeBuildLock.synchronized {
       if (!cacheDir.isDirectory) {
@@ -107,6 +114,9 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Bump when the [[Tables.edges]] derivation rule changes — part of the
+    * cache key, so old cache dirs are simply never read again. */
+  private[graft] val EdgeRuleVersion = 1
   /** Serializes same-JVM edge-table builds (see [[Tables.edges]]). */
   private[graft] val edgeBuildLock = new Object
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -767,9 +767,11 @@ object Dedup {
     * exact dot/norm arithmetic over the RAW weights with the same
     * round(·, 6) emit, so the two operators' outputs hash-equal (the
     * result-equality gate llm_tfidf_pairs_prefix asserts it against the
-    * same DuckDB oracle). The prefix bound itself uses a − 1e-9 epsilon
-    * that can only LENGTHEN prefixes — float error adds candidates,
-    * never loses a pair.
+    * same DuckDB oracle). The prefix bound uses a − 1e-6 epsilon that
+    * can only LENGTHEN prefixes: it must cover BOTH float error and the
+    * round(·, 6) threshold slack — the plain operator emits pairs whose
+    * RAW cosine sits up to 5e-7 below t (rounding up to t), so pruning
+    * at exactly t would drop those boundary pairs and break equality.
     *
     * When it wins, honestly: prefix length per document is the point
     * where the remaining weight-bound mass drops below t, so the
@@ -803,7 +805,9 @@ object Dedup {
       .over(byDoc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     val pref = wn.join(maxw, "sh")
       .withColumn("__sb", sufBound)
-      .filter(col("__sb") >= threshold - 1e-9)
+      // − 1e-6: covers the round(·,6) threshold slack (5e-7) plus float
+      // error — see the docstring; a larger epsilon only adds candidates
+      .filter(col("__sb") >= threshold - 1e-6)
       .select(col("sh"), col(idCol))
     val cands = pref.select(col("sh"), col(idCol).as("id_a"))
       .join(pref.select(col("sh"), col(idCol).as("id_b")), "sh")

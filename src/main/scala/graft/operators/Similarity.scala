@@ -234,6 +234,11 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     require(train.nonEmpty,
       "ivfIndex: corpus is empty — no centroids can be seeded")
+    // take(nlist) seeds min(nlist, train rows) centroids: fewer than
+    // requested when the corpus (or maxTrainRows) is smaller than nlist.
+    // Intentional for tiny corpora; callers sizing nlist from N must also
+    // keep nlist <= maxTrainRows or the cell count silently stops
+    // growing with the corpus (see semanticDedupIvf's explicit clamp).
     var centroids: Array[Array[Double]] = train.take(nlist).map(_.clone())
     for (_ <- 1 to iters) {
       // argmax assignment (ties to the higher index, mirroring the

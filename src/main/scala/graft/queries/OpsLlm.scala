@@ -973,7 +973,13 @@ object OpsLlm extends Suite {
   private val semanticDedupIvf: Q = (s, dir) => {
     val t = Tables(s, dir)
     val n = t.embeddings.count()
-    val nlist = math.max(32, math.ceil(n / 64.0).toInt)
+    // clamp at ivfIndex's default training-sample cap: train.take(nlist)
+    // can seed at most maxTrainRows centroids, so asking for more would
+    // SILENTLY cap the cell count and re-grow cells with N — past
+    // 25600*64 ≈ 1.6M vectors a real deployment raises maxTrainRows and
+    // nlist together (both are parameters); the clamp makes the
+    // degradation explicit here instead of invisible
+    val nlist = math.min(math.max(32, math.ceil(n / 64.0).toInt), 25600)
     Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
         threshold = 0.45, nlist = nlist, probes = 3)
       .select(col("vec_id"))

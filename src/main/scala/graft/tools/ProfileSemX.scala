@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * super-linear cost the round-7 probe measured. */
 object ProfileSemX {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("target/scale-probe/x10")
+    val sfDir = args.headOption.getOrElse("target/scale-probe/v2-x10")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
