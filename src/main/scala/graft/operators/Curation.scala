@@ -700,33 +700,29 @@ object Curation {
     * English stopword hits (the duplicated-stopword guard against
     * keyword-stuffing pages).
     *
-    * Scale design: pure column expressions over ONE bound token array —
-    * a narrow map-side scan, zero shuffle at any corpus size. The token
-    * array is bound as a column first (not re-derived per rule), so the
-    * tokenizer regex runs once per document, not once per rule. All
-    * ratios are exact integer-to-double divisions — bit-reproducible
-    * across engines. */
+    * Scale design: ONE single-pass byte-scan kernel per row
+    * ([[graft.expressions.GopherSignals]]) emits all five raw signals as
+    * a struct — a narrow map-side scan, zero shuffle at any corpus size,
+    * no token-array materialization, no per-token regex. (The previous
+    * composed form — split + aggregate/filter HOFs + three splits +
+    * regexp_extract_all — was the one map-side operator with a
+    * super-linear 10× probe curve, 12.7×; the kernel is fuzz-proven
+    * value-identical in GopherSignalsSpec.) All ratios are exact
+    * integer-to-double divisions — bit-reproducible across engines. */
   def gopherFilters(df: DataFrame, docId: Column, text: Column,
                     minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
-    val nWords = greatest(size(col("__toks")), lit(1)).cast("double")
+    val nWords = greatest(col("n_words"), lit(1)).cast("double")
     val flag = (c: Column) => when(c, 1).otherwise(0)
     df.select(docId.as("doc_id"), text.as("__t"))
-      .withColumn("__toks", split(trim(col("__t")), "\\s+"))
-      .withColumn("n_words", size(col("__toks")))
+      .withColumn("__sig", graft.expressions.GopherSignals(col("__t")))
+      .withColumn("n_words", col("__sig.n_words"))
       .withColumn("mean_word_len",
-        expr("aggregate(__toks, 0L, (a, x) -> a + length(x))")
-          .cast("double") / nWords)
+        col("__sig.sum_word_len").cast("double") / nWords)
       .withColumn("alpha_frac",
-        expr("size(filter(__toks, x -> x rlike '[a-zA-Z]'))")
-          .cast("double") / nWords)
+        col("__sig.n_alpha").cast("double") / nWords)
       .withColumn("symbol_ratio",
-        ((size(split(col("__t"), "#", -1)) - 1 +
-          size(split(col("__t"), "\\.\\.\\.", -1)) - 1 +
-          size(split(col("__t"), "…", -1)) - 1).cast("double"))
-          / nWords)
-      .withColumn("n_stop", size(array_distinct(regexp_extract_all(
-        lower(col("__t")),
-        lit("\\b(the|and|of|to|in|is|that|it|for|was)\\b"), lit(0)))))
+        col("__sig.n_symbols").cast("double") / nWords)
+      .withColumn("n_stop", col("__sig.n_stop"))
       .withColumn("g_words",
         flag(col("n_words").between(minWords, maxWords)))
       .withColumn("g_mean_len",
@@ -736,7 +732,7 @@ object Curation {
       .withColumn("g_stop", flag(col("n_stop") >= 2))
       .withColumn("keep", col("g_words") * col("g_mean_len") *
         col("g_alpha") * col("g_symbol") * col("g_stop"))
-      .drop("__t", "__toks")
+      .drop("__t", "__sig")
   }
 
   // ---- epoch shuffle (deterministic global permutation) ------------------
