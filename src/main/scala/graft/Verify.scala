@@ -10,8 +10,31 @@ object Verify {
     // iteration aid; the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the battery with
+    // real MULTI-PROCESS executors — the only local mode that exercises
+    // executor-side serde of the custom Catalyst nodes (GroupedTopK,
+    // CentroidCosines' embedded matrix, PqEncode, Blake2/3) and
+    // driver<->executor result traffic the way a real cluster does.
+    // local-cluster executors are fresh JVMs that inherit NEITHER the
+    // sbt classpath NOR the JDK17 add-opens, so both are forwarded.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder().master(master)
+    val builder =
+      if (master.startsWith("local-cluster")) builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+            "java.io", "java.net", "java.nio", "java.util",
+            "java.util.concurrent", "java.util.concurrent.atomic")
+            .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+            .mkString(" ") +
+            " --add-opens=java.base/sun.nio.ch=ALL-UNNAMED" +
+            " --add-opens=java.base/sun.nio.cs=ALL-UNNAMED" +
+            " --add-opens=java.base/sun.security.action=ALL-UNNAMED" +
+            " --add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+      else builder0
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       // graft optimizer rules active in the graded session (same wiring as
       // Context.local) — gated queries run the plans users would get
