@@ -159,7 +159,10 @@ object Bench {
           if (!times.forall(_ >= 0)) -1.0
           else if (fastTail) times.sorted.apply(times.size / 2)
           else times.min
-        name -> (value, times.size)
+        // estimator tag, carried into bench_full.json so cross-round
+        // per-query comparisons know which statistic they're reading:
+        // "m" = median-of-5 (fast tail), "n" = min-of-3 (heavy)
+        name -> (value, times.size, if (fastTail) "m" else "n")
       }
     }
     // The driver captures only the LAST 2000 bytes of stdout (measured from
@@ -179,12 +182,12 @@ object Bench {
     val qs = {
       val (tpch, rest) = results.partition(_._1.startsWith("tpch_"))
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-      tpch.foreach { case (k, (v, _)) =>
+      tpch.foreach { case (k, (v, _, _)) =>
         entries += "\"" + k + "\":" + s3(v) }
       var bytes = entries.map(_.length + 1).sum
       var others = 0
       var othersSec = 0.0
-      rest.sortBy { case (_, (v, _)) => -v }.foreach { case (k, (v, _)) =>
+      rest.sortBy { case (_, (v, _, _)) => -v }.foreach { case (k, (v, _, _)) =>
         val e = "\"" + k + "\":" + s3(v)
         if (bytes + e.length + 1 <= 1150) { entries += e; bytes += e.length + 1 }
         else { others += 1; othersSec += math.max(v, 0.0) }
@@ -205,19 +208,20 @@ object Bench {
       if (passVals.distinct.size <= 1) ""
       else ",\"passes_fast\":" + passVals.max +
         ",\"fast_n\":" + passVals.count(_ == passVals.max)
-    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
     val sentinelLast = math.min(sentinelPass(), sentinelPass())
     val contended =
       sentinelLast > 2.0 * sentinelFirst || sentinelFirst > 2.0 * sentinelLast
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps$psByQuery,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"sf":"$sfDir"}"""
-    val full = results.map { case (k, (v, p)) =>
-      "\"" + k + "\":{\"sec\":" + v + ",\"passes\":" + p + "}"
+    val full = results.map { case (k, (v, p, est)) =>
+      "\"" + k + "\":{\"sec\":" + v + ",\"passes\":" + p +
+        ",\"est\":\"" + est + "\"}"
     }.mkString("{", ",", "}")
     try {
       val dir = new java.io.File("target"); dir.mkdirs()
       val w = new java.io.PrintWriter(new java.io.File(dir, "bench_full.json"))
-      try w.println(s"""{"queries":$full,"sentinel_first":$sentinelFirst,"sentinel_last":$sentinelLast,"sf":"$sfDir"}""")
+      try w.println(s"""{"queries":$full,"sentinel_first":$sentinelFirst,"sentinel_last":$sentinelLast,"sf":"$sfDir","note":"est m=median-of-5 (fast tail, sub-300ms min; since r7), n=min-of-3 (heavy). Cross-round per-query deltas are only comparable within the same est tag; r6 and earlier reported min for all queries."}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // Stop the session BEFORE emitting the contract line: Spark's shutdown

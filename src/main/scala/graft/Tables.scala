@@ -60,14 +60,18 @@ final case class Tables(spark: SparkSession, dir: String) {
     * unchanged. Build is atomic (temp dir + rename) and idempotent;
     * concurrent same-JVM callers serialize on [[Tables]]. */
   def edges: DataFrame = {
-    // cache key = source path + derivation-rule version + the documents
-    // file's size and mtime: regenerated source data or a changed rule
+    // cache key = source path + derivation-rule version + a content stamp
+    // of documents.parquet: regenerated source data or a changed rule
     // gets a FRESH cache dir instead of silently serving a stale graph
     // (the oracle CTEs re-derive from the CURRENT documents every run,
-    // so a stale cache would hash-mismatch with nothing pointing at it)
+    // so a stale cache would hash-mismatch with nothing pointing at it).
+    // For a Spark-written DIRECTORY source the stamp is the sorted
+    // (relative child path, size, mtime) list — a directory File's own
+    // length is content-independent and its mtime misses in-place part
+    // rewrites, which previously could serve a stale graph.
     val srcFile = new java.io.File(dir, "documents.parquet")
     val stamp = new java.io.File(dir).getCanonicalPath +
-      s":${Tables.EdgeRuleVersion}:${srcFile.length}:${srcFile.lastModified}"
+      s":${Tables.EdgeRuleVersion}:${Tables.contentStamp(srcFile)}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val cacheDir = new java.io.File("target/graft-edges", key)
@@ -96,6 +100,14 @@ final case class Tables(spark: SparkSession, dir: String) {
           // another process won the race — use theirs, drop ours
           Tables.deleteRecursively(tmp)
           require(cacheDir.isDirectory, s"edge-table build failed: $cacheDir")
+        } else {
+          // prune sibling KEY dirs (32-hex names ≠ ours): superseded
+          // caches from older source data / rule versions otherwise
+          // accumulate forever. In-flight *.tmp* dirs are left alone.
+          Option(cacheDir.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName != key &&
+              f.getName.matches("[0-9a-f]{32}"))
+            .foreach(Tables.deleteRecursively)
         }
       }
     }
@@ -122,5 +134,20 @@ object Tables {
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(); ()
+  }
+
+  /** Content stamp for a parquet source that may be a single file OR a
+    * Spark-written directory: files stamp as size:mtime; directories
+    * stamp as the sorted recursive (relative path, size, mtime) list —
+    * any part-file rewrite (same names, in place) changes the stamp. */
+  private[graft] def contentStamp(f: java.io.File): String = {
+    def walk(g: java.io.File, rel: String): Seq[String] =
+      if (g.isDirectory) {
+        Option(g.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName)
+          .flatMap(c => walk(c, s"$rel/${c.getName}")).toSeq
+      } else Seq(s"$rel:${g.length}:${g.lastModified}")
+    if (f.isDirectory) walk(f, "").mkString(",")
+    else s"${f.length}:${f.lastModified}"
   }
 }

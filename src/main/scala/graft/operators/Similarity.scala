@@ -68,9 +68,21 @@ object Similarity {
     *    matrix kernel IS the production path.
     * Ties break to the higher index in both regimes (array_max struct
     * ordering). */
-  private def centroidScores(df: DataFrame, centroids: Array[Array[Double]],
-                             v: Column): Column =
-    if (centroids.length <= 64) {
+  /** `forceLiteral` is a TEST-ONLY override so CentroidParitySpec can
+    * evaluate the literal regime past the 64-centroid boundary and pin
+    * per-cosine bit equality between the two kernels (both accumulate
+    * dot and norms left-to-right in double, so a corpus crossing the
+    * boundary as it grows — e.g. semanticDedupIvf's nlist=ceil(N/64)
+    * passing ~4096 vectors — cannot flip a near-tie argmax assignment).
+    * Known, pinned divergence: a ZERO-NORM input scores NaN per cosine
+    * in the literal regime (0/0) vs 0.0 in the matrix regime — both
+    * orderings rank every cell equal, so argmax still agrees (highest
+    * index wins the tie on either side). */
+  private[graft] def centroidScores(df: DataFrame,
+                             centroids: Array[Array[Double]],
+                             v: Column,
+                             forceLiteral: Boolean = false): Column =
+    if (centroids.length <= 64 || forceLiteral) {
       array(centroids.zipWithIndex.map { case (c, i) =>
         struct(fastCosine(df)(v, typedLit(c.toSeq)).as("c"),
           lit(i).as("i"))

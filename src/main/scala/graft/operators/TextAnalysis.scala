@@ -164,13 +164,20 @@ object TextAnalysis {
     * hostnames through canonicalizeUrl first. Pure regexp extraction —
     * codegen'd, zero shuffle. Patterns stay inside the Java-regex ∩ RE2
     * subset so a DuckDB oracle can replay them verbatim (the PII-battery
-    * discipline). */
+    * discipline).
+    *
+    * Userinfo strips GREEDILY (`^.*@`): RFC 3986 §3.2 takes the host
+    * after the LAST '@' in the authority (browsers agree), so
+    * 'http://a@trusted.com@evil.com/' yields 'evil.com' — a lazy
+    * first-'@' strip would hand a domain-keyed blocklist/cap policy
+    * 'trusted.com@evil.com' instead. The captured authority already
+    * excludes '/?#', so the greedy '.*' cannot eat past the authority. */
   def extractDomain(url: Column): Column =
     regexp_replace(
       regexp_replace(
         lower(regexp_replace(
           regexp_extract(url, "^[^/?#]*//([^/?#]+)", 1),
-          "^[^/@]*@", "")),
+          "^.*@", "")),
         ":[0-9]*$", ""),
       "^www\\.", "")
 

@@ -218,7 +218,7 @@ object OpsWeb extends Suite {
       |      'HTTPS://WWW.' || source || CAST(doc_id % 3 AS VARCHAR)
       |        || '.Example.org:443/p/' || CAST(doc_id AS VARCHAR),
       |      '^[^/?#]*//([^/?#]+)', 1),
-      |      '^[^/@]*@', '')), ':[0-9]*$', ''), '^www\.', '') AS domain
+      |      '^.*@', '')), ':[0-9]*$', ''), '^www\.', '') AS domain
       |  FROM documents),
       |r AS (SELECT domain, doc_id, n_chars, row_number() OVER
       |        (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
@@ -502,7 +502,7 @@ object OpsWeb extends Suite {
       |dm AS (SELECT doc_id, n_chars, tok,
       |    regexp_replace(regexp_replace(lower(regexp_replace(
       |      regexp_extract(canon, '^[^/?#]*//([^/?#]+)', 1),
-      |      '^[^/@]*@', '')), ':[0-9]*$', ''), '^www\.', '')
+      |      '^.*@', '')), ':[0-9]*$', ''), '^www\.', '')
       |      AS domain FROM tk),
       |cap AS (SELECT domain, doc_id, tok FROM (
       |    SELECT *, row_number() OVER (PARTITION BY domain
