@@ -787,6 +787,43 @@ object Dedup {
                              n: Int = 3, threshold: Double = 0.5,
                              maxDocFreq: Option[Int] = Some(500))
       : DataFrame = {
+    val (wn, norms, pref) =
+      tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)
+    val cands = pref.select(col("sh"), col(idCol).as("id_a"))
+      .join(pref.select(col("sh"), col(idCol).as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify over the FULL term sets with the raw-weight arithmetic
+    // of tfidfCosinePairs (same formula, same round) — candidates-first,
+    // work proportional to |candidates| × shared terms
+    val wa = wn.select(col(idCol).as("id_a"), col("sh"),
+      col("wgt").as("wgt_a"))
+    val wb = wn.select(col(idCol).as("id_b"), col("sh"),
+      col("wgt").as("wgt_b"))
+    val na = norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a"))
+    val nb = norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b"))
+    cands.join(wa, "id_a").join(wb, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wgt_a") * col("wgt_b")).as("dot"))
+      .join(na, "id_a").join(nb, "id_b")
+      .withColumn("cosine",
+        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Shared machinery of the prefix-filtered TF-IDF path: normalized
+    * posting lists `wn` (id, sh, wgt, nw), per-doc `norms`, and the
+    * weight-bound PREFIX postings `pref` (sh, id) — every row whose
+    * suffix bound still reaches the threshold (see the lossless-prefix
+    * theorem on [[tfidfCosinePairsPrefix]]). Linear aggregates + one
+    * per-doc window; NO pair join — which is why
+    * [[tfidfPrefixMassRatio]] can afford to run it as a pre-flight
+    * statistic. */
+  private def tfidfPrefixParts(df: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               maxDocFreq: Option[Int])
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1] for the prefix bound")
@@ -809,27 +846,51 @@ object Dedup {
       // error — see the docstring; a larger epsilon only adds candidates
       .filter(col("__sb") >= threshold - 1e-6)
       .select(col("sh"), col(idCol))
-    val cands = pref.select(col("sh"), col(idCol).as("id_a"))
-      .join(pref.select(col("sh"), col(idCol).as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    // exact verify over the FULL term sets with the raw-weight arithmetic
-    // of tfidfCosinePairs (same formula, same round) — candidates-first,
-    // work proportional to |candidates| × shared terms
-    val wa = wn.select(col(idCol).as("id_a"), col("sh"),
-      col("wgt").as("wgt_a"))
-    val wb = wn.select(col(idCol).as("id_b"), col("sh"),
-      col("wgt").as("wgt_b"))
-    val na = norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a"))
-    val nb = norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b"))
-    cands.join(wa, "id_a").join(wb, Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("wgt_a") * col("wgt_b")).as("dot"))
-      .join(na, "id_a").join(nb, "id_b")
-      .withColumn("cosine",
-        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    (wn, norms, pref)
+  }
+
+  /** The cheap corpus-skew statistic behind [[tfidfCosinePairsAuto]]:
+    * the fraction of posting-list PAIR MASS surviving the prefix filter,
+    * Σ_t df_pref(t)² / Σ_t df(t)². Pair mass is exactly the number of
+    * in-bucket ordered pairs each path's candidate join generates, so
+    * the ratio predicts the prefix path's candidate-stage saving
+    * directly — and it is computable from two count aggregates over the
+    * posting tables (linear work, no pair join, driver state = two
+    * doubles). 1.0 when the corpus has no kept terms. */
+  def tfidfPrefixMassRatio(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           maxDocFreq: Option[Int] = Some(500)): Double = {
+    val (wn, _, pref) =
+      tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)
+    def pairMass(p: DataFrame): Double = {
+      val r = p.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
+    }
+    val total = pairMass(wn)
+    if (total == 0.0) 1.0 else pairMass(pref) / total
+  }
+
+  /** Selection rule frozen from the round-8 skew probe (committed
+    * artifact BENCH_SKEW_r08.json): run [[tfidfCosinePairsPrefix]] when
+    * the prefix keeps at most `massRatioCutoff` of the posting pair
+    * mass, else [[tfidfCosinePairs]]. Measured regimes: the near-uniform
+    * bench corpus keeps ~0.8+ of its pair mass (prefix overhead loses),
+    * a Zipf-weighted corpus keeps a small fraction (prefix wins by the
+    * saved candidate mass); the cutoff sits between them with margin on
+    * both sides, and BOTH paths emit the identical exact pair set, so a
+    * mis-prediction costs only time, never correctness. The pre-flight
+    * statistic is linear work and shares its persistScoped posting
+    * tables with the prefix path it may select. */
+  def tfidfCosinePairsAuto(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           maxDocFreq: Option[Int] = Some(500),
+                           massRatioCutoff: Double = 0.35): DataFrame = {
+    val ratio =
+      tfidfPrefixMassRatio(df, idCol, textCol, n, threshold, maxDocFreq)
+    if (ratio <= massRatioCutoff)
+      tfidfCosinePairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq)
+    else tfidfCosinePairs(df, idCol, textCol, n, threshold, maxDocFreq)
   }
 
   /** [[shingles]] with term frequencies: one row per (id, shingleHash, tf)

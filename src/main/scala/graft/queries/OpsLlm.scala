@@ -648,6 +648,16 @@ object OpsLlm extends Suite {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // -- auto-selected TF-IDF pairs: the frozen mass-ratio rule picks the
+  //    plain or prefix path per corpus (BENCH_SKEW_r08 crossover); both
+  //    paths are exact, so the SAME oracle gates whichever it picks. ----
+  private val tfidfPairsAuto: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.tfidfCosinePairsAuto(t.documents, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // -- MinHash-LSH near-dup pairs. Candidates are re-scored with exact
   //    Jaccard, and at threshold 0.9 with k=64/bands=16 the per-pair miss
   //    probability is ~(1-0.9^4)^16 ≈ 4e-8 — deterministic hashes make the
@@ -1580,6 +1590,7 @@ object OpsLlm extends Suite {
     "llm_novelty" -> novelty,
     "llm_tfidf_pairs" -> tfidfPairs,
     "llm_tfidf_pairs_prefix" -> tfidfPairsPrefix,
+    "llm_tfidf_pairs_auto" -> tfidfPairsAuto,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_survivors" -> dedupSurvivors,
     "llm_dedup_survivors_best" -> dedupSurvivorsBest,
@@ -1632,6 +1643,7 @@ object OpsLlm extends Suite {
     "llm_novelty" -> noveltySql,
     "llm_tfidf_pairs" -> tfidfPairsSql,
     "llm_tfidf_pairs_prefix" -> tfidfPairsSql,
+    "llm_tfidf_pairs_auto" -> tfidfPairsSql,
     "llm_dedup_minhash" -> dedupNgramSql
       .replace(">= 0.5", ">= 0.9"),
     "llm_dedup_survivors" -> dedupSurvivorsSql,

@@ -54,12 +54,21 @@ class PlanGuardSpec extends SparkSpec {
                                      // under dots + both norm joins, so the
                                      // single scalar cross shows 3× in text
                                      // (one cache build executes it once)
-    "llm_tfidf_pairs_prefix" -> 16,  // the SAME single 1-row idf-N scalar
+    "llm_tfidf_pairs_prefix" -> 60,  // the SAME single 1-row idf-N scalar
                                      // cross, rendered once per consumer of
                                      // the two scoped-cached relations (the
                                      // weight table feeds norms/maxw/prefix
-                                     // sides/verify sides) — 14 printed, one
-                                     // executed; margin for AQE reprints
+                                     // sides/verify sides). Since r8 the
+                                     // alphabetically-earlier _auto query
+                                     // leaves those caches pre-built with
+                                     // its own statistic subtree, so the
+                                     // PRINTED occurrences multiply (52
+                                     // observed, ONE executed); margin for
+                                     // AQE reprints
+    "llm_tfidf_pairs_auto" -> 8,     // same single scalar cross rendered
+                                     // under the pre-flight mass-ratio
+                                     // statistic's cached parts (6
+                                     // printed, one executed)
     "llm_ccnet_buckets" -> 8,        // two 1-row scalar crosses (LM totals
                                      // n/v and the n_docs count); the
                                      // persisted scored set renders its
@@ -232,7 +241,13 @@ class PlanGuardSpec extends SparkSpec {
     // resample: one as-of union-window join; outliers: two grouped exact
     // percentiles over the cached deviation relation
     "events_resample" -> (4, 0, 0, 2),
+    // all four as-of variants pinned since the r7 struct-payload refactor
+    // changed their shuffle payload shape: one union-window formulation
+    // each — two pushed scans in, no SMJ, no cartesian
     "op_asof_nearest" -> (3, 0, 0, 2),
+    "op_asof_join" -> (3, 0, 0, 2),
+    "op_asof_fwd" -> (3, 0, 0, 2),
+    "op_asof_tolerance" -> (3, 0, 0, 2),
     "sql_range_value_frame" -> (2, 0, 0, 0),
     "sql_named_window" -> (2, 0, 0, 0),
     "op_agg_mode" -> (4, 0, 2, 2),
