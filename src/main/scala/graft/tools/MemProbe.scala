@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Memory-pressure probe: run the heaviest scale-probe queries on the
+  * 10x corpus under a CONSTRAINED execution-memory budget so the spill
+  * paths a 100 TB job depends on actually engage — hash-agg spill,
+  * sort/WindowExec spill, the GroupedTopK per-partition valve — and
+  * prove the contract "spill, never OOM, same answer":
+  *  - per query: wall-clock, bytes spilled (memory + disk, from a
+  *    TaskEnd listener), peak execution memory, and an ORDER-INSENSITIVE
+  *    content hash of the full result (sum of per-row xxhash64 over the
+  *    canonical JSON of the name-sorted columns — partitioning- and
+  *    config-independent for the deterministic gated queries);
+  *  - run twice by the harness: `normal` (the usual 8g heap / default
+  *    spark.memory.fraction) and `tight` (small heap via
+  *    SPARK_DRIVER_MEM + fraction 0.2). The merged artifact asserts
+  *    hash(tight) == hash(normal) per query, spill > 0 under tight,
+  *    and zero OOMs.
+  *
+  * Usage: runMain graft.tools.MemProbe <outJson> <dataDir> <mode>
+  * (mode = normal | tight; heap set by the caller via SPARK_DRIVER_MEM)
+  */
+object MemProbe {
+
+  /** The 12 heaviest x10 probe queries (by BENCH_SCALE_r07 x10_sec),
+    * biased to cover every spill surface: hash-agg (dedup_exact,
+    * kneser_ney), sort + WindowExec (dedup_substring,
+    * events_dedup_window), shuffle sort (tfidf/prefix/minhash pair
+    * generation), GroupedTopK's bounded-heap valve (domain_cap), and
+    * the iterative-join family (hits). */
+  private[tools] val targets = Seq(
+    "llm_tfidf_pairs", "llm_dedup_prefix", "llm_semantic_dedup_ivf",
+    "llm_dedup_minhash", "llm_dedup_substring", "llm_bpe_encode",
+    "llm_winnow", "llm_hits", "llm_lm_kneser_ney",
+    "events_dedup_window", "llm_domain_cap", "llm_dedup_exact")
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args(0)
+    val dataDir = args(1)
+    val mode = args(2)
+    require(mode == "normal" || mode == "tight", s"bad mode $mode")
+    val builder = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+    val spark = (if (mode == "tight") {
+      // squeeze the unified-memory region: execution+storage get 20% of
+      // a heap the caller already shrank via SPARK_DRIVER_MEM. 32
+      // concurrent tasks then get a few MB of execution memory each on
+      // the 10x corpus — every hash agg and sort past that MUST spill.
+      builder.config("spark.memory.fraction", "0.2")
+    } else builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakExec = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spilledMem.addAndGet(m.memoryBytesSpilled)
+          spilledDisk.addAndGet(m.diskBytesSpilled)
+          peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+          ()
+        }
+      }
+    })
+
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // warmup (JIT the plan shapes at negligible data cost)
+    val warm = "/root/testdata/sf0.001"
+    targets.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
+    val rows = targets.map { n =>
+      spilledMem.set(0); spilledDisk.set(0); peakExec.set(0)
+      val fn = graft.SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      val outcome =
+        try {
+          val df = fn(spark, dataDir)
+          val cols = df.columns.sorted.map(col).toSeq
+          // order-insensitive content hash; config-independent for the
+          // deterministic gated queries (sum over per-row xxhash64)
+          // pmod before the sum: ANSI mode would overflow a raw sum
+          val h = df.select(
+              pmod(xxhash64(to_json(struct(cols: _*))), lit(1000000007L))
+                .as("__h"))
+            .agg(sum(col("__h"))).head()
+          Right(if (h.isNullAt(0)) 0L else h.getLong(0))
+        } catch { case e: Throwable => Left(e) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async; drain before reading the counters
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      outcome match {
+        case Right(hash) =>
+          val sm = spilledMem.get; val sd = spilledDisk.get
+          println(f"[memprobe:$mode] $n%-26s ${sec}%7.2fs  spillMem ${sm / 1e6}%9.1fMB  spillDisk ${sd / 1e6}%9.1fMB  peakExec ${peakExec.get / 1e6}%8.1fMB  hash $hash")
+          s""""$n":{"sec":${s3(sec)},"hash":"$hash","spill_mem_mb":${s3(sm / 1e6)},"spill_disk_mb":${s3(sd / 1e6)},"peak_exec_mb":${s3(peakExec.get / 1e6)},"oom":false}"""
+        case Left(e) =>
+          val oom = {
+            var c: Throwable = e; var found = false
+            while (c != null && !found) {
+              found = c.isInstanceOf[OutOfMemoryError]; c = c.getCause
+            }
+            found
+          }
+          println(s"[memprobe:$mode] $n FAILED oom=$oom: ${e.getMessage}")
+          s""""$n":{"sec":${s3(sec)},"error":true,"oom":$oom}"""
+      }
+    }
+    val json =
+      s"""{"mode":"$mode","heap":"${Runtime.getRuntime.maxMemory / (1 << 20)}m","data":"$dataDir","queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}
