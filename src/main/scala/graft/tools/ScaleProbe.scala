@@ -132,8 +132,11 @@ object ScaleProbe {
     val outJson = args.headOption.getOrElse("BENCH_SCALE_r08.json")
     val r = if (args.length > 1) args(1).toInt else 10
     val gateR = if (args.length > 2) args(2).toInt else 3
+    // "-" = no filter (placeholder so a 5th positional arg can follow;
+    // quoted empty strings survive sbt arg-splitting as literal quotes)
     val only: Set[String] =
-      if (args.length > 3 && args(3).nonEmpty) args(3).split(",").toSet
+      if (args.length > 3 && args(3).nonEmpty && args(3) != "-")
+        args(3).split(",").toSet
       else Set.empty
     val r2 = if (args.length > 4) args(4).toInt else 0
     def keep(n: String) = only.isEmpty || only(n)
@@ -190,9 +193,15 @@ object ScaleProbe {
     }
 
     // min-of-3 (the Bench.scala discipline — r7's min-of-2 left single
-    // ratios quotable only to ~±30%)
+    // ratios quotable only to ~±30%). A query that dies (e.g. OOM at a
+    // replication the heap can't hold) records -1 instead of killing
+    // the whole probe artifact.
     def min3(n: String, dir: String): Double =
-      Seq(time(n, dir), time(n, dir), time(n, dir)).min
+      try Seq(time(n, dir), time(n, dir), time(n, dir)).min
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] $n FAILED on $dir: ${e.getMessage}")
+        -1.0
+      }
 
     // Contention sentinel (Bench.scala discipline): tpch_q6 on the src
     // tables immediately before and after the measured set; >2x drift
@@ -206,14 +215,17 @@ object ScaleProbe {
     val rows = heavy.filter(keep).map { n =>
       val t1 = min3(n, src)
       val tR = min3(n, bigDir)
-      val ratio = tR / math.max(t1, 1e-9)
+      val ratio =
+        if (t1 < 0 || tR < 0) -1.0 else tR / math.max(t1, 1e-9)
       val expTail = if (r2 > 0 && steep.contains(n)) {
         // exponent from the (xR, xR2) pair: d(log t)/d(log data). The
         // sf0.1 point is EXCLUDED on purpose — fixed per-query overhead
         // dominates there and would bias the slope low.
         val tR2 = min3(n, r2Dir)
-        val expo = math.log(tR2 / math.max(tR, 1e-9)) /
-          math.log(r2.toDouble / r)
+        val expo =
+          if (tR2 < 0 || tR < 0) -1.0
+          else math.log(tR2 / math.max(tR, 1e-9)) /
+            math.log(r2.toDouble / r)
         println(f"[probe-exp] $n%-28s x$r ${tR}%7.2fs  x$r2 ${tR2}%7.2fs  exponent ${expo}%5.2f")
         s""","x${r2}_sec":${s3(tR2)},"exponent":${s3(expo)}"""
       } else ""
