@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   *    hash(tight) == hash(normal) per query, spill > 0 under tight,
   *    and zero OOMs.
   *
-  * Usage: runMain graft.tools.MemProbe <outJson> <dataDir> <mode>
-  * (mode = normal | tight; heap set by the caller via SPARK_DRIVER_MEM)
+  * Usage: runMain graft.tools.MemProbe <outJson> <dataDir> <mode> [cores]
+  * (mode = normal | tight; heap set by the caller via SPARK_DRIVER_MEM.
+  * `cores` defaults to 32; the tight run should pass a PRODUCTION-SHAPED
+  * core count — a real executor holds ~1 core per 1-4 GB, so probing
+  * "3 GB heap" with 32 concurrent tasks models a cluster nobody runs
+  * and OOMs on per-task object churn, not on any operator's working
+  * set.)
   */
 object MemProbe {
 
@@ -40,9 +45,10 @@ object MemProbe {
     val outJson = args(0)
     val dataDir = args(1)
     val mode = args(2)
+    val cores = if (args.length > 3) args(3).toInt else 32
     require(mode == "normal" || mode == "tight", s"bad mode $mode")
     val builder = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -123,7 +129,7 @@ object MemProbe {
       }
     }
     val json =
-      s"""{"mode":"$mode","heap":"${Runtime.getRuntime.maxMemory / (1 << 20)}m","data":"$dataDir","queries":{${rows.mkString(",")}}}"""
+      s"""{"mode":"$mode","heap":"${Runtime.getRuntime.maxMemory / (1 << 20)}m","cores":$cores,"data":"$dataDir","queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
