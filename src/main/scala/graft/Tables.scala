@@ -70,10 +70,18 @@ final case class Tables(spark: SparkSession, dir: String) {
     // length is content-independent and its mtime misses in-place part
     // rewrites, which previously could serve a stale graph.
     val srcFile = new java.io.File(dir, "documents.parquet")
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // key = <src-dir hash>-<content stamp hash>: the prefix scopes the
+    // post-build prune to THIS source's superseded caches — pruning
+    // across sources would delete the live cache of another sf dir the
+    // same JVM (or a concurrent process) alternates with, e.g. the
+    // scale probe interleaving sf0.1 with its x10/x30 corpora
+    val srcKey = md5(new java.io.File(dir).getCanonicalPath).take(8)
     val stamp = new java.io.File(dir).getCanonicalPath +
       s":${Tables.EdgeRuleVersion}:${Tables.contentStamp(srcFile)}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val key = srcKey + "-" + md5(stamp)
     val cacheDir = new java.io.File("target/graft-edges", key)
     if (!cacheDir.isDirectory) Tables.edgeBuildLock.synchronized {
       if (!cacheDir.isDirectory) {
@@ -101,12 +109,14 @@ final case class Tables(spark: SparkSession, dir: String) {
           Tables.deleteRecursively(tmp)
           require(cacheDir.isDirectory, s"edge-table build failed: $cacheDir")
         } else {
-          // prune sibling KEY dirs (32-hex names ≠ ours): superseded
-          // caches from older source data / rule versions otherwise
-          // accumulate forever. In-flight *.tmp* dirs are left alone.
+          // prune superseded caches of THIS source only (same srcKey
+          // prefix, different stamp) plus legacy unprefixed r7 keys
+          // (never referenced by the new format). Other sources' live
+          // caches and in-flight *.tmp* dirs are left alone.
           Option(cacheDir.getParentFile.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isDirectory && f.getName != key &&
-              f.getName.matches("[0-9a-f]{32}"))
+              (f.getName.matches(srcKey + "-[0-9a-f]{32}") ||
+                f.getName.matches("[0-9a-f]{32}")))
             .foreach(Tables.deleteRecursively)
         }
       }
