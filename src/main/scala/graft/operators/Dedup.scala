@@ -732,9 +732,21 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
+    // norm joins: EXPLICIT broadcast of the per-doc norms side. Left to
+    // itself the planner picked this locally, but under multi-process
+    // executors with a cold posting cache its static size estimate
+    // flipped and it tried to broadcast the PAIR side (8 GiB abort at
+    // 10x — AQE cannot demote a planned broadcast join), so the choice
+    // is pinned. Ceiling, honestly: norms is 16 bytes/kept doc, so the
+    // broadcast holds to ~4e8 docs — far past the point where this
+    // EXACT all-pairs op (pair mass ~ Σ df(t)²) stops being the right
+    // tool; at that scale use the prefix/auto path or the capped
+    // ngram/minhash family.
     val out = dots
-      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a")), "id_a")
-      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .join(broadcast(norms.select(col(idCol).as("id_a"),
+        col("nrm").as("nrm_a"))), "id_a")
+      .join(broadcast(norms.select(col(idCol).as("id_b"),
+        col("nrm").as("nrm_b"))), "id_b")
       .withColumn("cosine",
         round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
@@ -800,8 +812,13 @@ object Dedup {
       col("wgt").as("wgt_a"))
     val wb = wn.select(col(idCol).as("id_b"), col("sh"),
       col("wgt").as("wgt_b"))
-    val na = norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a"))
-    val nb = norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b"))
+    // explicitly broadcast for the same reason as tfidfCosinePairs'
+    // norm joins: a cold-cache misestimate must not broadcast the pair
+    // side (same ~4e8-doc ceiling, same argument)
+    val na = broadcast(norms.select(col(idCol).as("id_a"),
+      col("nrm").as("nrm_a")))
+    val nb = broadcast(norms.select(col(idCol).as("id_b"),
+      col("nrm").as("nrm_b")))
     cands.join(wa, "id_a").join(wb, Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("wgt_a") * col("wgt_b")).as("dot"))

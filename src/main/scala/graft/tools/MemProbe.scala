@@ -47,8 +47,36 @@ object MemProbe {
     val mode = args(2)
     val cores = if (args.length > 3) args(3).toInt else 32
     require(mode == "normal" || mode == "tight", s"bad mode $mode")
-    val builder = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cores]")
+    // SPARK_GRAFT_MASTER=local-cluster[...] reruns the battery with
+    // multi-process executors (the Verify.scala wiring): the content
+    // hashes must match the local[] run — multi-process SHUFFLE at 10x
+    // volume returning identical answers.
+    val master =
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val builder0 = org.apache.spark.sql.SparkSession.builder()
+      .master(master)
+    val builder = (if (master.startsWith("local-cluster")) builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+            "java.io", "java.net", "java.nio", "java.util",
+            "java.util.concurrent", "java.util.concurrent.atomic",
+            "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+            "sun.util.calendar")
+            .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+            .mkString(" "))
+      else builder0)
+      // local-cluster executors default to 1g; SPARK_GRAFT_EXEC_MEM
+      // sizes them like a real executor (the worker memory in the
+      // master string is a capacity cap, not the executor size)
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "1g"))
+      // diagnostic knob: SPARK_GRAFT_NO_BCAST=1 disables broadcast
+      // joins (isolates planner-side broadcast size misestimates)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (sys.env.contains("SPARK_GRAFT_NO_BCAST")) "-1"
+        else "10485760")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -91,7 +119,9 @@ object MemProbe {
       catch { case _: Throwable => () }
     }
 
-    val rows = targets.map { n =>
+    // optional 5th+ args: restrict to named queries (re-probe aid)
+    val only = args.drop(4).toSet
+    val rows = targets.filter(n => only.isEmpty || only(n)).map { n =>
       spilledMem.set(0); spilledDisk.set(0); peakExec.set(0)
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
