@@ -74,7 +74,10 @@ object Bench {
       "events_resample", "llm_length_outliers", "llm_corpus_kl",
       "llm_mojibake", "op_asof_nearest", "llm_semantic_decontaminate",
       // round-7 addition: exact-substring dedup at arbitrary alignment
-      "llm_dedup_substring")
+      "llm_dedup_substring",
+      // round-8 addition: mass-ratio-selected TF-IDF pair path (the
+      // pre-flight statistic + whichever exact path it picks)
+      "llm_tfidf_pairs_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
