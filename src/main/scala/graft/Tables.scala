@@ -112,11 +112,18 @@ final case class Tables(spark: SparkSession, dir: String) {
           // prune superseded caches of THIS source only (same srcKey
           // prefix, different stamp) plus legacy unprefixed r7 keys
           // (never referenced by the new format). Other sources' live
-          // caches and in-flight *.tmp* dirs are left alone.
+          // caches and in-flight *.tmp* dirs are left alone. GRACE AGE:
+          // deletion is cross-process (no inter-process lock exists), so
+          // a dir another process just built for a newer stamp, or is
+          // mid-read on, must not vanish under it — only dirs untouched
+          // for EdgePruneGraceMs are candidates; younger superseded dirs
+          // are left for a later build to sweep.
+          val now = System.currentTimeMillis()
           Option(cacheDir.getParentFile.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isDirectory && f.getName != key &&
               (f.getName.matches(srcKey + "-[0-9a-f]{32}") ||
-                f.getName.matches("[0-9a-f]{32}")))
+                f.getName.matches("[0-9a-f]{32}")) &&
+              now - f.lastModified() > Tables.EdgePruneGraceMs)
             .foreach(Tables.deleteRecursively)
         }
       }
@@ -141,6 +148,11 @@ object Tables {
   private[graft] val EdgeRuleVersion = 1
   /** Serializes same-JVM edge-table builds (see [[Tables.edges]]). */
   private[graft] val edgeBuildLock = new Object
+  /** Minimum age before a superseded edge cache may be pruned — the
+    * cross-process TOCTOU guard (r8 advisory): long enough for any
+    * concurrent process's in-flight read of a superseded cache, or its
+    * just-renamed newer build, to be out of the window. */
+  private[graft] val EdgePruneGraceMs: Long = 15L * 60 * 1000
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(); ()

@@ -64,6 +64,19 @@ object Dedup {
     lastPersisted.clear()
   }
 
+  /** Broadcast pin that stays subordinate to the session's diagnostic
+    * regime: an explicit broadcast() hint overrides
+    * `spark.sql.autoBroadcastJoinThreshold`, so with the hint unconditional
+    * the MemProbe SPARK_GRAFT_NO_BCAST knob (threshold = -1) could no
+    * longer turn broadcasting off to isolate misestimates — the r8 advisory.
+    * When the session has auto-broadcast fully disabled we honor it and
+    * leave the join strategy to the planner; everywhere else the hint pins
+    * the per-doc side (see the cold-cache misestimate notes at call sites). */
+  private def pinBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        .trim.startsWith("-1")) df
+    else broadcast(df)
+
   // --- exact -------------------------------------------------------------
 
   /** One surviving row per distinct key tuple — the canonical survivor is
@@ -722,8 +735,13 @@ object Dedup {
     // dot product; scoped lifecycle (released on the next call / releaseCaches)
     val w = persistScoped(s"tfidfW:$idCol:$textCol:$n:$maxDocFreq",
       tfidfWeights(df, idCol, textCol, n, maxDocFreq))
-    val norms = w.groupBy(col(idCol))
-      .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+    // norms persisted too: it feeds TWO broadcast builds (id_a and id_b
+    // sides) whose projections alias differently, so exchange reuse does
+    // not kick in and each build would re-aggregate the posting table
+    // (profiled at ~7 s apiece at 10× probe scale). 16 bytes/doc.
+    val norms = persistScoped(s"tfidfN:$idCol:$textCol:$n:$maxDocFreq",
+      w.groupBy(col(idCol))
+        .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm")))
     val dots = w
       .groupBy(col("sh"))
       .agg(collect_list(struct(col(idCol).as("id"), col("wgt"))).as("xs"))
@@ -743,15 +761,23 @@ object Dedup {
     // tool; at that scale use the prefix/auto path or the capped
     // ngram/minhash family.
     val out = dots
-      .join(broadcast(norms.select(col(idCol).as("id_a"),
+      .join(pinBroadcast(norms.select(col(idCol).as("id_a"),
         col("nrm").as("nrm_a"))), "id_a")
-      .join(broadcast(norms.select(col(idCol).as("id_b"),
+      .join(pinBroadcast(norms.select(col(idCol).as("id_b"),
         col("nrm").as("nrm_b"))), "id_b")
       .withColumn("cosine",
         round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-    out
+    // The qualifying set (output-sized — only pairs ≥ threshold, never the
+    // quadratic candidate intermediate) is persisted: callers almost always
+    // follow with a global sort for a deterministic dump, and a
+    // range-partitioned sort executes its child TWICE (RangePartitioner
+    // bounds sampling, then the real shuffle map pass) — at 30× probe scale
+    // that re-ran the dominant spilling aggregate end-to-end (profiled r9).
+    // Materializing before the sort is the standard cluster discipline for
+    // sorting any expensive computation.
+    persistScoped(s"tfidfOut:$idCol:$textCol:$n:$maxDocFreq:$threshold", out)
   }
 
   /** [[tfidfCosinePairs]] with PREFIX-FILTERED candidate generation
@@ -799,8 +825,9 @@ object Dedup {
                              n: Int = 3, threshold: Double = 0.5,
                              maxDocFreq: Option[Int] = Some(500))
       : DataFrame = {
-    val (wn, norms, pref) =
+    val (annot, norms) =
       tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)
+    val pref = annot.filter(col("__keep")).select(col("sh"), col(idCol))
     val cands = pref.select(col("sh"), col(idCol).as("id_a"))
       .join(pref.select(col("sh"), col(idCol).as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
@@ -808,18 +835,18 @@ object Dedup {
     // exact verify over the FULL term sets with the raw-weight arithmetic
     // of tfidfCosinePairs (same formula, same round) — candidates-first,
     // work proportional to |candidates| × shared terms
-    val wa = wn.select(col(idCol).as("id_a"), col("sh"),
+    val wa = annot.select(col(idCol).as("id_a"), col("sh"),
       col("wgt").as("wgt_a"))
-    val wb = wn.select(col(idCol).as("id_b"), col("sh"),
+    val wb = annot.select(col(idCol).as("id_b"), col("sh"),
       col("wgt").as("wgt_b"))
     // explicitly broadcast for the same reason as tfidfCosinePairs'
     // norm joins: a cold-cache misestimate must not broadcast the pair
     // side (same ~4e8-doc ceiling, same argument)
-    val na = broadcast(norms.select(col(idCol).as("id_a"),
+    val na = pinBroadcast(norms.select(col(idCol).as("id_a"),
       col("nrm").as("nrm_a")))
-    val nb = broadcast(norms.select(col(idCol).as("id_b"),
+    val nb = pinBroadcast(norms.select(col(idCol).as("id_b"),
       col("nrm").as("nrm_b")))
-    cands.join(wa, "id_a").join(wb, Seq("id_b", "sh"))
+    val out = cands.join(wa, "id_a").join(wb, Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("wgt_a") * col("wgt_b")).as("dot"))
       .join(na, "id_a").join(nb, "id_b")
@@ -827,43 +854,58 @@ object Dedup {
         round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    // output-sized persist before the caller's deterministic global sort —
+    // same range-sort double-execution argument as tfidfCosinePairs
+    persistScoped(s"tfidfPOut:$idCol:$textCol:$n:$maxDocFreq:$threshold", out)
   }
 
-  /** Shared machinery of the prefix-filtered TF-IDF path: normalized
-    * posting lists `wn` (id, sh, wgt, nw), per-doc `norms`, and the
-    * weight-bound PREFIX postings `pref` (sh, id) — every row whose
-    * suffix bound still reaches the threshold (see the lossless-prefix
-    * theorem on [[tfidfCosinePairsPrefix]]). Linear aggregates + one
-    * per-doc window; NO pair join — which is why
-    * [[tfidfPrefixMassRatio]] can afford to run it as a pre-flight
-    * statistic. */
+  /** Shared machinery of the prefix-filtered TF-IDF path: per-doc `norms`
+    * and the ANNOTATED posting table `annot` (id, sh, wgt, __keep) — one
+    * row per kept (document, term) carrying the raw weight for the exact
+    * verify stage plus a boolean marking whether the row survives the
+    * weight-bound PREFIX filter (suffix bound still reaches the threshold
+    * — see the lossless-prefix theorem on [[tfidfCosinePairsPrefix]]).
+    * One persisted table serves all three consumers — the candidate join
+    * (filter __keep), the exact verify (full rows), and the
+    * [[tfidfPrefixMassRatio]] statistic (one count aggregate over
+    * (sh, __keep)) — instead of the r8 layout's separate wn + pref, which
+    * made the statistic pay a second window pass. Linear aggregates + one
+    * per-doc window; NO pair join.
+    *
+    * `tag` namespaces the persistScoped keys so a SAMPLED pre-flight
+    * (see [[tfidfCosinePairsAuto]]) does not evict the full-corpus caches
+    * its selected branch is about to build. */
   private def tfidfPrefixParts(df: DataFrame, idCol: String,
                                textCol: String, n: Int, threshold: Double,
-                               maxDocFreq: Option[Int])
-      : (DataFrame, DataFrame, DataFrame) = {
+                               maxDocFreq: Option[Int], tag: String = "")
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1] for the prefix bound")
-    val w = persistScoped(s"tfidfWp:$idCol:$textCol:$n:$maxDocFreq",
+    // same key layout as tfidfCosinePairs (tag "" ⇒ the SAME key): the two
+    // paths' weight tables are plan-identical, so whichever runs first
+    // warms the other — the auto path's branches share it for free
+    val w = persistScoped(s"tfidfW$tag:$idCol:$textCol:$n:$maxDocFreq",
       tfidfWeights(df, idCol, textCol, n, maxDocFreq))
-    val norms = w.groupBy(col(idCol))
-      .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
-    val wn = persistScoped(s"tfidfWn:$idCol:$textCol:$n:$maxDocFreq",
-      w.join(norms, idCol)
-        .select(col(idCol), col("sh"), col("wgt"),
-          (col("wgt") / col("nrm")).as("nw")))
+    val norms = persistScoped(s"tfidfN$tag:$idCol:$textCol:$n:$maxDocFreq",
+      w.groupBy(col(idCol))
+        .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm")))
+    val wn = w.join(norms, idCol)
+      .select(col(idCol), col("sh"), col("wgt"),
+        (col("wgt") / col("nrm")).as("nw"))
     val maxw = wn.groupBy(col("sh")).agg(max(col("nw")).as("mw"))
     val byDoc = Window.partitionBy(col(idCol))
       .orderBy(col("mw").desc, col("sh").asc)
     val sufBound = sum(col("nw") * col("mw"))
       .over(byDoc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    val pref = wn.join(maxw, "sh")
-      .withColumn("__sb", sufBound)
-      // − 1e-6: covers the round(·,6) threshold slack (5e-7) plus float
-      // error — see the docstring; a larger epsilon only adds candidates
-      .filter(col("__sb") >= threshold - 1e-6)
-      .select(col("sh"), col(idCol))
-    (wn, norms, pref)
+    val annot = persistScoped(
+      s"tfidfA$tag:$idCol:$textCol:$n:$maxDocFreq:$threshold",
+      wn.join(maxw, "sh")
+        // − 1e-6: covers the round(·,6) threshold slack (5e-7) plus float
+        // error — see the docstring; a larger epsilon only adds candidates
+        .withColumn("__keep", sufBound >= threshold - 1e-6)
+        .select(col(idCol), col("sh"), col("wgt"), col("__keep")))
+    (annot, norms)
   }
 
   /** The cheap corpus-skew statistic behind [[tfidfCosinePairsAuto]]:
@@ -876,16 +918,24 @@ object Dedup {
     * doubles). 1.0 when the corpus has no kept terms. */
   def tfidfPrefixMassRatio(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
-                           maxDocFreq: Option[Int] = Some(500)): Double = {
-    val (wn, _, pref) =
-      tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)
-    def pairMass(p: DataFrame): Double = {
-      val r = p.groupBy(col("sh")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c"))).head()
-      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
-    }
-    val total = pairMass(wn)
-    if (total == 0.0) 1.0 else pairMass(pref) / total
+                           maxDocFreq: Option[Int] = Some(500)): Double =
+    massRatioOf(
+      tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)._1)
+
+  /** Both pair masses in ONE aggregate over the annotated posting table:
+    * per-term total count and prefix-surviving count, then Σc² / Σcp².
+    * Double sums — Σ df² can exceed Long range on an uncapped
+    * 100 TB corpus (df up to N ⇒ df² up to 10¹⁸ per term). */
+  private def massRatioOf(annot: DataFrame): Double = {
+    val r = annot.groupBy(col("sh"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("cp"))
+      .agg(sum(col("c").cast("double") * col("c")).as("tot"),
+        sum(col("cp").cast("double") * col("cp")).as("pre"))
+      .head()
+    val total = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    if (total == 0.0) 1.0
+    else (if (r.isNullAt(1)) 0.0 else r.getDouble(1)) / total
   }
 
   /** Selection rule frozen from the round-8 skew probe (committed
@@ -896,15 +946,41 @@ object Dedup {
     * a Zipf-weighted corpus keeps a small fraction (prefix wins by the
     * saved candidate mass); the cutoff sits between them with margin on
     * both sides, and BOTH paths emit the identical exact pair set, so a
-    * mis-prediction costs only time, never correctness. The pre-flight
-    * statistic is linear work and shares its persistScoped posting
-    * tables with the prefix path it may select. */
+    * mis-prediction costs only time, never correctness.
+    *
+    * The pre-flight statistic runs on a deterministic 1-in-`statSampleMod`
+    * DOCUMENT sample (`xxhash64(id) mod m = 0` — stable across runs and
+    * engines, no RNG): pair mass is a ratio of Σ df² sums dominated by the
+    * corpus's hot terms, whose doc frequencies scale uniformly under
+    * document sampling, so the ratio is preserved while the statistic's
+    * cost drops to ~1/m of the corpus — the r8 unsampled pre-flight cost
+    * 71% of the selected branch's own runtime on the bench corpus.
+    * The measured regimes sit two orders of magnitude apart (0.003 vs
+    * 0.539, BENCH_SKEW_r08), far beyond sampling noise; SkewProbeSpec
+    * pins that the sampled statistic still separates them. An empty
+    * sample (tiny corpus) yields ratio 1.0 ⇒ the plain path, which is
+    * the right call at tiny scale anyway. `statSampleMod = 1` recovers
+    * the exact unsampled statistic.
+    *
+    * EAGER by design, unlike every sibling operator: CONSTRUCTING this
+    * DataFrame runs Spark jobs (the sampled posting build + one mass
+    * aggregate) to make the plan-shape decision, and the selection is
+    * frozen at construction — callers composing plans without executing
+    * them still pay the sampled pre-flight, and a source that mutates
+    * between construction and action keeps the originally selected
+    * branch (both branches stay exact regardless). */
   def tfidfCosinePairsAuto(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            maxDocFreq: Option[Int] = Some(500),
-                           massRatioCutoff: Double = 0.35): DataFrame = {
-    val ratio =
-      tfidfPrefixMassRatio(df, idCol, textCol, n, threshold, maxDocFreq)
+                           massRatioCutoff: Double = 0.35,
+                           statSampleMod: Int = 8): DataFrame = {
+    val stat =
+      if (statSampleMod <= 1) df
+      else df.filter(
+        pmod(xxhash64(col(idCol)), lit(statSampleMod.toLong)) === 0)
+    val (annot, _) = tfidfPrefixParts(stat, idCol, textCol, n, threshold,
+      maxDocFreq, tag = "Samp")
+    val ratio = massRatioOf(annot)
     if (ratio <= massRatioCutoff)
       tfidfCosinePairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq)
     else tfidfCosinePairs(df, idCol, textCol, n, threshold, maxDocFreq)

@@ -73,7 +73,11 @@ object MemProbe {
       .config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "1g"))
       // diagnostic knob: SPARK_GRAFT_NO_BCAST=1 disables broadcast
-      // joins (isolates planner-side broadcast size misestimates)
+      // joins (isolates planner-side broadcast size misestimates).
+      // Dedup's explicit broadcast() pins on the tfidf norm joins defer
+      // to this: pinBroadcast checks the session threshold and skips the
+      // hint when it is -1, so the knob genuinely reaches every join
+      // (the r8 advisory found the hint silently overriding it)
       .config("spark.sql.autoBroadcastJoinThreshold",
         if (sys.env.contains("SPARK_GRAFT_NO_BCAST")) "-1"
         else "10485760")
