@@ -827,6 +827,17 @@ object Dedup {
       : DataFrame = {
     val (annot, norms) =
       tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)
+    tfidfPrefixFromParts(annot, norms, idCol,
+      s"$idCol:$textCol:$n:$maxDocFreq:$threshold", threshold)
+  }
+
+  /** The candidate + verify tail of [[tfidfCosinePairsPrefix]] over
+    * already-built parts — split out so [[tfidfCosinePairsAuto]] can feed
+    * it the SAME annotated table its pre-flight statistic just
+    * materialized instead of rebuilding anything. */
+  private def tfidfPrefixFromParts(annot: DataFrame, norms: DataFrame,
+                                   idCol: String, outKey: String,
+                                   threshold: Double): DataFrame = {
     val pref = annot.filter(col("__keep")).select(col("sh"), col(idCol))
     val cands = pref.select(col("sh"), col(idCol).as("id_a"))
       .join(pref.select(col("sh"), col(idCol).as("id_b")), "sh")
@@ -856,7 +867,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
     // output-sized persist before the caller's deterministic global sort —
     // same range-sort double-execution argument as tfidfCosinePairs
-    persistScoped(s"tfidfPOut:$idCol:$textCol:$n:$maxDocFreq:$threshold", out)
+    persistScoped(s"tfidfPOut:$outKey", out)
   }
 
   /** Shared machinery of the prefix-filtered TF-IDF path: per-doc `norms`
@@ -948,42 +959,70 @@ object Dedup {
     * both sides, and BOTH paths emit the identical exact pair set, so a
     * mis-prediction costs only time, never correctness.
     *
-    * The pre-flight statistic runs on a deterministic 1-in-`statSampleMod`
-    * DOCUMENT sample (`xxhash64(id) mod m = 0` — stable across runs and
-    * engines, no RNG): pair mass is a ratio of Σ df² sums dominated by the
-    * corpus's hot terms, whose doc frequencies scale uniformly under
-    * document sampling, so the ratio is preserved while the statistic's
-    * cost drops to ~1/m of the corpus — the r8 unsampled pre-flight cost
-    * 71% of the selected branch's own runtime on the bench corpus.
-    * The measured regimes sit two orders of magnitude apart (0.003 vs
-    * 0.539, BENCH_SKEW_r08), far beyond sampling noise; SkewProbeSpec
-    * pins that the sampled statistic still separates them. An empty
-    * sample (tiny corpus) yields ratio 1.0 ⇒ the plain path, which is
-    * the right call at tiny scale anyway. `statSampleMod = 1` recovers
-    * the exact unsampled statistic.
+    * The pre-flight cost is AMORTIZED by construction (r9; the r8 form
+    * paid it twice): by default the statistic runs over the full corpus
+    * under the SAME scoped cache keys as the branches, so the annotated
+    * posting table it materializes IS the prefix branch's input (selected
+    * ⇒ the branch runs only its candidate + verify tail), and the weight
+    * and norm tables are the plain branch's inputs (selected ⇒ the branch
+    * adds only its dot-product stage). The residual un-amortized work —
+    * the suffix-bound window when PLAIN wins — is the price of deciding;
+    * it is linear, and it shrinks relative to either branch as the corpus
+    * grows (both branches are superlinear in pair mass). Profiling note:
+    * a sampled pre-flight does NOT help here — at probe scale the
+    * statistic's cost is stage-count (the window + five aggregates), not
+    * data volume, so a 1-in-8 document sample saved under 20% while
+    * forfeiting all cache sharing with the selected branch.
+    *
+    * `statSampleMod > 1` opts into a deterministic 1-in-m document sample
+    * (`xxhash64(id) mod m = 0` — stable across runs and engines, no RNG)
+    * for callers who expect the plain path and want the cheapest possible
+    * decision: pair mass is a ratio of Σ df² sums dominated by hot terms
+    * whose doc frequencies scale uniformly under document sampling, and
+    * the measured regimes sit two orders of magnitude apart (0.003 vs
+    * 0.539, BENCH_SKEW_r08), far beyond sampling noise — SkewProbeSpec
+    * pins that the sampled estimator still separates them. An empty
+    * sample (tiny corpus) yields ratio 1.0 ⇒ the plain path, the right
+    * call at tiny scale anyway. Sampled parts live under their own cache
+    * tag and share nothing with the branches.
     *
     * EAGER by design, unlike every sibling operator: CONSTRUCTING this
-    * DataFrame runs Spark jobs (the sampled posting build + one mass
+    * DataFrame runs Spark jobs (the posting-table build + one mass
     * aggregate) to make the plan-shape decision, and the selection is
     * frozen at construction — callers composing plans without executing
-    * them still pay the sampled pre-flight, and a source that mutates
-    * between construction and action keeps the originally selected
-    * branch (both branches stay exact regardless). */
+    * them still pay the pre-flight, and a source that mutates between
+    * construction and action keeps the originally selected branch (both
+    * branches stay exact regardless). */
   def tfidfCosinePairsAuto(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            maxDocFreq: Option[Int] = Some(500),
                            massRatioCutoff: Double = 0.35,
-                           statSampleMod: Int = 8): DataFrame = {
-    val stat =
-      if (statSampleMod <= 1) df
-      else df.filter(
+                           statSampleMod: Int = 1): DataFrame = {
+    if (statSampleMod > 1) {
+      val stat = df.filter(
         pmod(xxhash64(col(idCol)), lit(statSampleMod.toLong)) === 0)
-    val (annot, _) = tfidfPrefixParts(stat, idCol, textCol, n, threshold,
-      maxDocFreq, tag = "Samp")
-    val ratio = massRatioOf(annot)
-    if (ratio <= massRatioCutoff)
-      tfidfCosinePairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq)
-    else tfidfCosinePairs(df, idCol, textCol, n, threshold, maxDocFreq)
+      val (annot, _) = tfidfPrefixParts(stat, idCol, textCol, n, threshold,
+        maxDocFreq, tag = "Samp")
+      if (massRatioOf(annot) <= massRatioCutoff)
+        tfidfCosinePairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq)
+      else tfidfCosinePairs(df, idCol, textCol, n, threshold, maxDocFreq)
+    } else {
+      val (annot, norms) =
+        tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)
+      if (massRatioOf(annot) <= massRatioCutoff)
+        // the statistic's annot/norms ARE the branch's inputs — no rebuild
+        tfidfPrefixFromParts(annot, norms, idCol,
+          s"$idCol:$textCol:$n:$maxDocFreq:$threshold", threshold)
+      else {
+        // plain shares the weight + norm caches (same scoped keys) but
+        // never reads the annotated table — release its posting-sized
+        // cache now rather than holding it until the next scoped call
+        // (at production scale that's a corpus-sized MEMORY_AND_DISK
+        // entry competing with the pair join for executor storage)
+        annot.unpersist(blocking = false)
+        tfidfCosinePairs(df, idCol, textCol, n, threshold, maxDocFreq)
+      }
+    }
   }
 
   /** [[shingles]] with term frequencies: one row per (id, shingleHash, tf)

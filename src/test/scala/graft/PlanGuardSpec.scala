@@ -65,12 +65,15 @@ class PlanGuardSpec extends SparkSpec {
                                      // order-independent and tight again —
                                      // the r8 value 60 existed only to
                                      // absorb _auto's leftover cache state
-    "llm_tfidf_pairs_auto" -> 3,     // same single scalar cross rendered
+    "llm_tfidf_pairs_auto" -> 10,    // same single scalar cross rendered
                                      // under the selected (plain) branch's
-                                     // three weight-cache consumers, from a
-                                     // reset cache state (the sampled
-                                     // pre-flight's caches are a separate
-                                     // plan and do not print here)
+                                     // weight-cache consumers — since the
+                                     // r9 amortization the pre-flight
+                                     // shares the branch cache keys, so
+                                     // the statistic's annot/norms
+                                     // relations also print the scalar
+                                     // subtree (10 printed, ONE executed;
+                                     // reset cache state)
     "llm_ccnet_buckets" -> 8,        // two 1-row scalar crosses (LM totals
                                      // n/v and the n_docs count); the
                                      // persisted scored set renders its
