@@ -142,6 +142,16 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def onePass(): Double = {
+          // COLD scoped caches per pass (r9): Dedup's persistScoped now
+          // includes OUTPUT-sized entries (tfidf qualifying sets), so
+          // without this reps 2+ read rep 1's cached result and the
+          // reported min/median measures a cache fetch, not the operator.
+          // Also kills cross-QUERY sharing (e.g. llm_tfidf_pairs warming
+          // _auto's weight table) — every row is now the solo cold cost.
+          // r8 and earlier tfidf-family rows shared warm weight caches
+          // across reps and read slightly low.
+          graft.operators.Dedup.releaseCaches()
+          spark.sharedState.cacheManager.clearCache()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
                 (System.nanoTime() - t0) / 1e9 }

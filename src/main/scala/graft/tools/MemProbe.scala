@@ -126,6 +126,12 @@ object MemProbe {
     // optional 5th+ args: restrict to named queries (re-probe aid)
     val only = args.drop(4).toSet
     val rows = targets.filter(n => only.isEmpty || only(n)).map { n =>
+      // r9: drop scoped caches left by the previous query — under the
+      // tight budget a stale MEMORY_AND_DISK posting table competes with
+      // this query's execution memory and distorts its spill reading
+      // (within-query persists are the operator's own design and stay)
+      graft.operators.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
       spilledMem.set(0); spilledDisk.set(0); peakExec.set(0)
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

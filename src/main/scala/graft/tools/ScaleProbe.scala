@@ -160,6 +160,14 @@ object ScaleProbe {
     if (r2 > 0) synth(spark, src, r2Dir, r2)
 
     def time(name: String, dir: String): Double = {
+      // COLD scoped caches per pass (r9): Dedup's persistScoped now
+      // includes OUTPUT-sized entries (the tfidf qualifying sets), so
+      // without this a min-of-3 rep 2/3 reads the cached result of rep 1
+      // and the "min" measures a cache fetch, not the operator (observed:
+      // llm_tfidf_pairs x30 0.57 s vs the honest ~146 s). Each timed pass
+      // now rebuilds everything the query builds.
+      graft.operators.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -254,7 +262,11 @@ object ScaleProbe {
     val allGreen = !(gateRows ++ gate30Rows)
       .exists(_.contains("\"gates_green\":false"))
     val note = "ratio = x" + r + " wall-clock / sf0.1 wall-clock (min of " +
-      "3 passes each, shared JVM). The reseeded corpus multiplies " +
+      "3 passes each, shared JVM, scoped caches CLEARED before every " +
+      "pass since r9 — Dedup's output-sized persists otherwise turn " +
+      "reps 2-3 into cache reads; r8 rows for the tfidf family shared " +
+      "warm weight caches across reps and read slightly low). " +
+      "The reseeded corpus multiplies " +
       "DUPLICATE DENSITY as well as volume (every original becomes a " +
       "cluster of " + r + " near-dups), so pair-bound dedup operators " +
       "track true-pair growth (~" + (r * (r - 1) / 2) + "x pairs at " + r +
