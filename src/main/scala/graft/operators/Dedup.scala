@@ -953,11 +953,12 @@ object Dedup {
     * artifact BENCH_SKEW_r08.json): run [[tfidfCosinePairsPrefix]] when
     * the prefix keeps at most `massRatioCutoff` of the posting pair
     * mass, else [[tfidfCosinePairs]]. Measured regimes: the near-uniform
-    * bench corpus keeps ~0.8+ of its pair mass (prefix overhead loses),
-    * a Zipf-weighted corpus keeps a small fraction (prefix wins by the
-    * saved candidate mass); the cutoff sits between them with margin on
-    * both sides, and BOTH paths emit the identical exact pair set, so a
-    * mis-prediction costs only time, never correctness.
+    * bench corpus keeps 0.539 of its pair mass (prefix overhead loses),
+    * the Zipf skew corpus keeps 0.003 (prefix wins by the saved candidate
+    * mass) — two orders of magnitude apart (BENCH_SKEW_r09.json); the
+    * cutoff sits between them with margin on both sides, and BOTH paths
+    * emit the identical exact pair set, so a mis-prediction costs only
+    * time, never correctness.
     *
     * The pre-flight cost is AMORTIZED by construction (r9; the r8 form
     * paid it twice): by default the statistic runs over the full corpus
