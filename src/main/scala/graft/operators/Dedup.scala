@@ -697,9 +697,14 @@ object Dedup {
     * least one shingle; norms are over each document's kept terms. */
   def tfidfWeights(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3,
-                   maxDocFreq: Option[Int] = Some(500)): DataFrame = {
-    val tf = persistScoped(s"tfidf:$idCol:$textCol:$n",
-      shingleTf(df, idCol, textCol, n))
+                   maxDocFreq: Option[Int] = Some(500),
+                   cache: Boolean = true): DataFrame = {
+    // cache=false: single-action consumers (the sampled pre-flight
+    // statistic) skip the MEMORY_AND_DISK write — exchange reuse already
+    // dedups the shared shuffle inside one action
+    val tf = if (cache) persistScoped(s"tfidf:$idCol:$textCol:$n",
+        shingleTf(df, idCol, textCol, n))
+      else shingleTf(df, idCol, textCol, n)
     val docFreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(maxDocFreq.map(cap => col("df") <= cap).getOrElse(lit(true)))
     val nDocs = tf.agg(countDistinct(col(idCol)).as("n_docs"))
@@ -888,17 +893,23 @@ object Dedup {
     * its selected branch is about to build. */
   private def tfidfPrefixParts(df: DataFrame, idCol: String,
                                textCol: String, n: Int, threshold: Double,
-                               maxDocFreq: Option[Int], tag: String = "")
+                               maxDocFreq: Option[Int], tag: String = "",
+                               cache: Boolean = true)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1] for the prefix bound")
     // same key layout as tfidfCosinePairs (tag "" ⇒ the SAME key): the two
     // paths' weight tables are plan-identical, so whichever runs first
-    // warms the other — the auto path's branches share it for free
-    val w = persistScoped(s"tfidfW$tag:$idCol:$textCol:$n:$maxDocFreq",
-      tfidfWeights(df, idCol, textCol, n, maxDocFreq))
-    val norms = persistScoped(s"tfidfN$tag:$idCol:$textCol:$n:$maxDocFreq",
+    // warms the other — the auto path's branches share it for free.
+    // cache=false (the sampled pre-flight): every part is consumed by ONE
+    // action, so persisting would only add MEMORY_AND_DISK writes —
+    // exchange reuse dedups w's two consumers within the action.
+    def scoped(key: String, d: DataFrame): DataFrame =
+      if (cache) persistScoped(key, d) else d
+    val w = scoped(s"tfidfW$tag:$idCol:$textCol:$n:$maxDocFreq",
+      tfidfWeights(df, idCol, textCol, n, maxDocFreq, cache))
+    val norms = scoped(s"tfidfN$tag:$idCol:$textCol:$n:$maxDocFreq",
       w.groupBy(col(idCol))
         .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm")))
     val wn = w.join(norms, idCol)
@@ -909,7 +920,7 @@ object Dedup {
       .orderBy(col("mw").desc, col("sh").asc)
     val sufBound = sum(col("nw") * col("mw"))
       .over(byDoc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    val annot = persistScoped(
+    val annot = scoped(
       s"tfidfA$tag:$idCol:$textCol:$n:$maxDocFreq:$threshold",
       wn.join(maxw, "sh")
         // − 1e-6: covers the round(·,6) threshold slack (5e-7) plus float
@@ -932,6 +943,25 @@ object Dedup {
                            maxDocFreq: Option[Int] = Some(500)): Double =
     massRatioOf(
       tfidfPrefixParts(df, idCol, textCol, n, threshold, maxDocFreq)._1)
+
+  /** The SAMPLED pre-flight statistic exactly as [[tfidfCosinePairsAuto]]
+    * computes it (public so SkewProbeSpec pins the production computation,
+    * not a replica): deterministic 1-in-m document sample
+    * (`xxhash64(id) mod m = 0`), doc-frequency cap SCALED to the sample
+    * (`max(1, cap/m)` — an unscaled cap keeps exactly the hot terms the
+    * full statistic drops and flips the decision; see
+    * [[tfidfCosinePairsAuto]]), persist-free single-action plan under its
+    * own cache tag. */
+  def tfidfPrefixMassRatioSampled(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int = 3,
+                                  threshold: Double = 0.5,
+                                  maxDocFreq: Option[Int] = Some(500),
+                                  m: Int = 8): Double = {
+    val stat = df.filter(pmod(xxhash64(col(idCol)), lit(m.toLong)) === 0)
+    val sampleCap = maxDocFreq.map(c => math.max(1, c / m))
+    massRatioOf(tfidfPrefixParts(stat, idCol, textCol, n, threshold,
+      sampleCap, tag = "Samp", cache = false)._1)
+  }
 
   /** Both pair masses in ONE aggregate over the annotated posting table:
     * per-term total count and prefix-surviving count, then Σc² / Σcp².
@@ -960,32 +990,34 @@ object Dedup {
     * emit the identical exact pair set, so a mis-prediction costs only
     * time, never correctness.
     *
-    * The pre-flight cost is AMORTIZED by construction (r9; the r8 form
-    * paid it twice): by default the statistic runs over the full corpus
-    * under the SAME scoped cache keys as the branches, so the annotated
-    * posting table it materializes IS the prefix branch's input (selected
-    * ⇒ the branch runs only its candidate + verify tail), and the weight
-    * and norm tables are the plain branch's inputs (selected ⇒ the branch
-    * adds only its dot-product stage). The residual un-amortized work —
-    * the suffix-bound window when PLAIN wins — is the price of deciding;
-    * it is linear, and it shrinks relative to either branch as the corpus
-    * grows (both branches are superlinear in pair mass). Profiling note:
-    * a sampled pre-flight does NOT help here — at probe scale the
-    * statistic's cost is stage-count (the window + five aggregates), not
-    * data volume, so a 1-in-8 document sample saved under 20% while
-    * forfeiting all cache sharing with the selected branch.
+    * The pre-flight is a deterministic 1-in-`statSampleMod` document
+    * sample by default (`xxhash64(id) mod m = 0` — stable across runs and
+    * engines, no RNG): pair mass is a ratio of Σ df² sums dominated by
+    * hot terms whose doc frequencies scale uniformly under document
+    * sampling, and the measured regimes sit two orders of magnitude apart
+    * (0.003 vs 0.539, BENCH_SKEW_r09), far beyond sampling noise —
+    * SkewProbeSpec pins that the sampled estimator lands on the exact
+    * statistic's side of the cutoff on both corpora. An empty sample
+    * (tiny corpus) yields ratio 1.0 ⇒ the plain path, the right call at
+    * tiny scale anyway. Sampled parts live under their own cache tag and
+    * share nothing with the branches; the overhead over the selected
+    * branch's solo time is ~1/m of the posting-table build on BOTH
+    * regimes (measured cold ≤1.2× on each, BENCH_SKEW_r09).
     *
-    * `statSampleMod > 1` opts into a deterministic 1-in-m document sample
-    * (`xxhash64(id) mod m = 0` — stable across runs and engines, no RNG)
-    * for callers who expect the plain path and want the cheapest possible
-    * decision: pair mass is a ratio of Σ df² sums dominated by hot terms
-    * whose doc frequencies scale uniformly under document sampling, and
-    * the measured regimes sit two orders of magnitude apart (0.003 vs
-    * 0.539, BENCH_SKEW_r08), far beyond sampling noise — SkewProbeSpec
-    * pins that the sampled estimator still separates them. An empty
-    * sample (tiny corpus) yields ratio 1.0 ⇒ the plain path, the right
-    * call at tiny scale anyway. Sampled parts live under their own cache
-    * tag and share nothing with the branches.
+    * `statSampleMod = 1` opts into the exact full-corpus statistic, which
+    * shares its scoped caches with the branches: the annotated posting
+    * table it materializes IS the prefix branch's input (selected ⇒ the
+    * branch runs only its candidate + verify tail), and the weight/norm
+    * tables are the plain branch's inputs. History, honestly: r9 first
+    * shipped this sharing as the default because under the pre-r9 bench
+    * discipline (warm scoped caches across passes) it measured ≤1.15×
+    * the selected branch — but under the honest cold-cache-per-pass
+    * discipline the full statistic's residual (the wn join + maxw
+    * aggregate + suffix-bound window + posting-sized cache write that
+    * PLAIN never consumes) costs ≈1× the plain branch's entire solo time
+    * on the near-uniform corpus (measured: auto 5.4–6.0 s vs plain
+    * ~2.6 s cold at sf0.1). Sharing only pays when PREFIX wins; sampling
+    * is cheap on both sides, so sampled is the default.
     *
     * EAGER by design, unlike every sibling operator: CONSTRUCTING this
     * DataFrame runs Spark jobs (the posting-table build + one mass
@@ -998,13 +1030,17 @@ object Dedup {
                            n: Int = 3, threshold: Double = 0.5,
                            maxDocFreq: Option[Int] = Some(500),
                            massRatioCutoff: Double = 0.35,
-                           statSampleMod: Int = 1): DataFrame = {
+                           statSampleMod: Int = 8): DataFrame = {
     if (statSampleMod > 1) {
-      val stat = df.filter(
-        pmod(xxhash64(col(idCol)), lit(statSampleMod.toLong)) === 0)
-      val (annot, _) = tfidfPrefixParts(stat, idCol, textCol, n, threshold,
-        maxDocFreq, tag = "Samp")
-      if (massRatioOf(annot) <= massRatioCutoff)
+      // sampled statistic with the cap SCALED to the sample: the cap is
+      // defined against full-corpus doc counts, and a term with full df D
+      // shows sampled df ≈ D/m — an unscaled cap keeps exactly the hot
+      // terms the full statistic drops, and those low-weight terms sit in
+      // the prunable tail, dragging the sampled ratio across the cutoff
+      // (observed on the bench corpus: unscaled-cap sample read below the
+      // cutoff vs the exact 0.539 and mis-selected the prefix path)
+      if (tfidfPrefixMassRatioSampled(df, idCol, textCol, n, threshold,
+          maxDocFreq, statSampleMod) <= massRatioCutoff)
         tfidfCosinePairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq)
       else tfidfCosinePairs(df, idCol, textCol, n, threshold, maxDocFreq)
     } else {

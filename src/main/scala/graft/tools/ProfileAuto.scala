@@ -40,6 +40,9 @@ object ProfileAuto {
       t("stat full") {
         Dedup.tfidfPrefixMassRatio(docs, "doc_id", "text", n, 0.5); ()
       }
+      t("stat sampled m=8") {
+        Dedup.tfidfPrefixMassRatioSampled(docs, "doc_id", "text", n, 0.5); ()
+      }
       t("plain solo") {
         Dedup.tfidfCosinePairs(docs, "doc_id", "text", n, 0.5)
           .write.format("noop").mode("overwrite").save()

@@ -55,7 +55,7 @@ object ScaleProbe {
     "events_sessionize",
     "events_dedup_window", "events_resample", "events_transitions",
     // wider text-analysis battery
-    "llm_bm25", "llm_tfidf_pairs",
+    "llm_bm25", "llm_tfidf_pairs", "llm_tfidf_pairs_auto",
     "llm_keywords", "llm_collocations",
     "llm_token_entropy", "llm_gopher_filters", "llm_lm_bigram",
     "llm_corpus_kl", "llm_mojibake", "llm_normalize")
@@ -67,8 +67,8 @@ object ScaleProbe {
     "llm_embed_pq_recall", "llm_embed_cluster_recall",
     "llm_hard_negatives_ivf", "llm_bitext_mine", "llm_pack_bestfit")
 
-  private def synth(spark: SparkSession, src: String, out: String,
-                    r: Int): Unit = {
+  private[tools] def synth(spark: SparkSession, src: String, out: String,
+                           r: Int): Unit = {
     val done = new java.io.File(out, "_PROBE_READY")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
@@ -168,6 +168,10 @@ object ScaleProbe {
       // now rebuilds everything the query builds.
       graft.operators.Dedup.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
+      // GC hygiene (r9, same as Bench): collect the dropped cache blocks
+      // outside the timed region so their collection doesn't splash into
+      // this pass's reading
+      System.gc()
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()

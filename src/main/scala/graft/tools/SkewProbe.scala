@@ -95,10 +95,15 @@ object SkewProbe {
       n = 3, threshold = 0.5)
     def prefB() = Dedup.tfidfCosinePairsPrefix(bench, "doc_id", "text",
       n = 3, threshold = 0.5)
+    def autoB() = Dedup.tfidfCosinePairsAuto(bench, "doc_id", "text",
+      n = 3, threshold = 0.5)
 
     def time1(mk: () => DataFrame): Double = {
       Dedup.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
+      // GC hygiene (r9, same as Bench): collect dropped cache blocks
+      // outside the timed region
+      System.gc()
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -129,17 +134,22 @@ object SkewProbe {
     val tAutoS = min3(autoS)
     val tPlainB = min3(plainB)
     val tPrefB = min3(prefB)
+    val tAutoB = min3(autoB)
 
     println(f"[skew] skew corpus:  plain ${tPlainS}%6.2fs  prefix ${tPrefS}%6.2fs  auto ${tAutoS}%6.2fs  massRatio ${ratioSkew}%6.4f  pairs $nPlainS  equal=$equalS")
-    println(f"[skew] bench corpus: plain ${tPlainB}%6.2fs  prefix ${tPrefB}%6.2fs  massRatio ${ratioBench}%6.4f")
+    println(f"[skew] bench corpus: plain ${tPlainB}%6.2fs  prefix ${tPrefB}%6.2fs  auto ${tAutoB}%6.2fs  massRatio ${ratioBench}%6.4f")
 
     val note = "Topical corpus, " + nDocs + " docs = rare topic token x10 " +
       "+ 50 Zipf(1) background tokens, every 5th doc a near-copy. massRatio = " +
       "prefix-surviving posting pair mass / total (Dedup." +
       "tfidfPrefixMassRatio). The auto cutoff 0.35 must separate the " +
       "two measured regimes with margin; prefix_wins_skew and " +
-      "equal_outputs must both be true."
-    val json = s"""{"probe":"tfidf-skew-crossover","n_docs":$nDocs,"note":"$note","skew":{"plain_sec":${s3(tPlainS)},"prefix_sec":${s3(tPrefS)},"auto_sec":${s3(tAutoS)},"mass_ratio":${s3(ratioSkew)},"pairs":$nPlainS,"equal_outputs":$equalS,"prefix_wins":${tPrefS < tPlainS}},"bench":{"plain_sec":${s3(tPlainB)},"prefix_sec":${s3(tPrefB)},"mass_ratio":${s3(ratioBench)},"plain_wins":${tPlainB < tPrefB}},"auto_cutoff":0.35,"cutoff_separates":${ratioSkew <= 0.35 && ratioBench > 0.35}}"""
+      "equal_outputs must both be true. Timing: min-of-3 with scoped " +
+      "caches cleared + System.gc() before every pass (each reading is " +
+      "the solo cold cost). auto_sec on BOTH corpora carries the " +
+      "pre-flight-overhead criterion: auto (sampled 1-in-8 statistic " +
+      "since r9) must read within ~1.2x the selected branch's solo time."
+    val json = s"""{"probe":"tfidf-skew-crossover","n_docs":$nDocs,"note":"$note","skew":{"plain_sec":${s3(tPlainS)},"prefix_sec":${s3(tPrefS)},"auto_sec":${s3(tAutoS)},"mass_ratio":${s3(ratioSkew)},"pairs":$nPlainS,"equal_outputs":$equalS,"prefix_wins":${tPrefS < tPlainS}},"bench":{"plain_sec":${s3(tPlainB)},"prefix_sec":${s3(tPrefB)},"auto_sec":${s3(tAutoB)},"mass_ratio":${s3(ratioBench)},"plain_wins":${tPlainB < tPrefB}},"auto_cutoff":0.35,"cutoff_separates":${ratioSkew <= 0.35 && ratioBench > 0.35}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()

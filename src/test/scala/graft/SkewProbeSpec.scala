@@ -82,11 +82,12 @@ class SkewProbeSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  /** The sampled statistic exactly as tfidfCosinePairsAuto computes it. */
+  /** The sampled statistic exactly as tfidfCosinePairsAuto computes it —
+    * the PRODUCTION method (sample + scaled cap + persist-free), not a
+    * replica that could drift. */
   private def sampledRatio(df: DataFrame, mod: Int): Double =
-    Dedup.tfidfPrefixMassRatio(
-      df.filter(pmod(xxhash64(col("doc_id")), lit(mod.toLong)) === 0),
-      "doc_id", "text", n = 1, threshold = 0.5)
+    Dedup.tfidfPrefixMassRatioSampled(df, "doc_id", "text", n = 1,
+      threshold = 0.5, m = mod)
 
   test("exact mass-ratio statistic separates the skew and uniform " +
     "regimes across the frozen 0.35 cutoff with margin") {
