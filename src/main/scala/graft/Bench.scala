@@ -152,6 +152,12 @@ object Bench {
           // across reps and read slightly low.
           graft.operators.Dedup.releaseCaches()
           spark.sharedState.cacheManager.clearCache()
+          // GC hygiene (r9): dropping cache blocks every pass creates
+          // allocation churn whose collection otherwise lands INSIDE a
+          // neighbor's timed pass — observed as untouched pure-SQL queries
+          // (tpch_q11) jittering 0.7 ↔ 2.3 s between identical runs while
+          // the sentinel stayed flat. Collect outside the timed region.
+          System.gc()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
                 (System.nanoTime() - t0) / 1e9 }

@@ -97,15 +97,32 @@ object MemProbe {
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // probes that target a scale-probe corpus synthesize it on demand
+    // (the driver may clean target/ between rounds; the synth is
+    // deterministic so a rebuilt corpus hashes identically)
+    val synthR = "x(\\d+)$".r.findFirstMatchIn(dataDir).map(_.group(1).toInt)
+    if (dataDir.contains("scale-probe") && synthR.nonEmpty &&
+        !new java.io.File(dataDir, "_PROBE_READY").exists()) {
+      val src =
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      println(s"[memprobe] synthesizing x${synthR.get} corpus at $dataDir")
+      ScaleProbe.synth(spark, src, dataDir, synthR.get)
+    }
+
     val spilledMem = new java.util.concurrent.atomic.AtomicLong(0)
     val spilledDisk = new java.util.concurrent.atomic.AtomicLong(0)
     val peakExec = new java.util.concurrent.atomic.AtomicLong(0)
+    // task-attributed JVM GC time: under the tight budget this separates
+    // "slow because spilling to disk" from "slow because the collector is
+    // thrashing a too-small heap" (the r8 BPE-encode 2.4x question)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           spilledMem.addAndGet(m.memoryBytesSpilled)
           spilledDisk.addAndGet(m.diskBytesSpilled)
+          gcMs.addAndGet(m.jvmGCTime)
           peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
           ()
         }
@@ -115,16 +132,17 @@ object MemProbe {
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    // optional 5th+ args: restrict to named queries (re-probe aid)
+    val only = args.drop(4).toSet
+
     // warmup (JIT the plan shapes at negligible data cost)
     val warm = "/root/testdata/sf0.001"
-    targets.foreach { n =>
+    targets.filter(n => only.isEmpty || only(n)).foreach { n =>
       try graft.SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    // optional 5th+ args: restrict to named queries (re-probe aid)
-    val only = args.drop(4).toSet
     val rows = targets.filter(n => only.isEmpty || only(n)).map { n =>
       // r9: drop scoped caches left by the previous query — under the
       // tight budget a stale MEMORY_AND_DISK posting table competes with
@@ -132,7 +150,11 @@ object MemProbe {
       // (within-query persists are the operator's own design and stay)
       graft.operators.Dedup.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
-      spilledMem.set(0); spilledDisk.set(0); peakExec.set(0)
+      // collect the dropped blocks before measuring: under the tight
+      // budget a pending collection otherwise counts against this query's
+      // gc_sec and distorts the spill-vs-GC attribution
+      System.gc()
+      spilledMem.set(0); spilledDisk.set(0); peakExec.set(0); gcMs.set(0)
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
       val outcome =
@@ -154,8 +176,9 @@ object MemProbe {
       outcome match {
         case Right(hash) =>
           val sm = spilledMem.get; val sd = spilledDisk.get
-          println(f"[memprobe:$mode] $n%-26s ${sec}%7.2fs  spillMem ${sm / 1e6}%9.1fMB  spillDisk ${sd / 1e6}%9.1fMB  peakExec ${peakExec.get / 1e6}%8.1fMB  hash $hash")
-          s""""$n":{"sec":${s3(sec)},"hash":"$hash","spill_mem_mb":${s3(sm / 1e6)},"spill_disk_mb":${s3(sd / 1e6)},"peak_exec_mb":${s3(peakExec.get / 1e6)},"oom":false}"""
+          val gc = gcMs.get / 1e3
+          println(f"[memprobe:$mode] $n%-26s ${sec}%7.2fs  spillMem ${sm / 1e6}%9.1fMB  spillDisk ${sd / 1e6}%9.1fMB  peakExec ${peakExec.get / 1e6}%8.1fMB  gc ${gc}%6.2fs  hash $hash")
+          s""""$n":{"sec":${s3(sec)},"hash":"$hash","spill_mem_mb":${s3(sm / 1e6)},"spill_disk_mb":${s3(sd / 1e6)},"peak_exec_mb":${s3(peakExec.get / 1e6)},"gc_sec":${s3(gc)},"oom":false}"""
         case Left(e) =>
           val oom = {
             var c: Throwable = e; var found = false

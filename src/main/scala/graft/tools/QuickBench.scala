@@ -16,6 +16,11 @@ object QuickBench {
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
     for (n <- names; i <- 1 to 3) {
+      // Bench.scala's cold-cache + GC discipline, so readings match the
+      // committed artifact's methodology
+      graft.operators.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
