@@ -1000,9 +1000,17 @@ object Dedup {
     * statistic's side of the cutoff on both corpora. An empty sample
     * (tiny corpus) yields ratio 1.0 ⇒ the plain path, the right call at
     * tiny scale anyway. Sampled parts live under their own cache tag and
-    * share nothing with the branches; the overhead over the selected
-    * branch's solo time is ~1/m of the posting-table build on BOTH
-    * regimes (measured cold ≤1.2× on each, BENCH_SKEW_r09).
+    * share nothing with the branches. Measured decision cost (cold,
+    * min-of-3): a FIXED ~1.5–3 s floor — mostly stage-launch latency for
+    * the statistic's ~8-stage chain, data-independent at small corpora
+    * (AQE off saves nothing; m=32 halves it) — which reads 2.27× plain at
+    * sf0.1 and 1.31× prefix on the 30k-doc skew corpus (BENCH_SKEW_r09),
+    * then amortizes to noise exactly where the choice matters: 0.98×
+    * plain at the 10× probe scale and 1.08× at 30× (BENCH_SCALE_r09,
+    * auto exponent 1.769 tracking the selected plain path's 1.68–1.72).
+    * Callers on toy corpora who already know their regime should call the
+    * chosen branch directly; the wrapper exists for corpora big enough
+    * that a wrong branch costs minutes.
     *
     * `statSampleMod = 1` opts into the exact full-corpus statistic, which
     * shares its scoped caches with the branches: the annotated posting

@@ -94,6 +94,16 @@ object MemProbe {
       // concurrent tasks then get a few MB of execution memory each on
       // the 10x corpus — every hash agg and sort past that MUST spill.
       builder.config("spark.memory.fraction", "0.2")
+        // Spill-merge reader fan-in (learned at x30): with ~150 MB of
+        // execution memory per task a tens-of-GB aggregate spills
+        // hundreds of files, and the merge opens ALL of them at once —
+        // each with a 1 MiB ON-HEAP NIO buffer PLUS a second 1 MiB
+        // read-ahead buffer and its prefetch thread. The READERS, not
+        // the operator, OOM a 3 GB heap (the reader buffer size conf has
+        // a hard 1 MiB floor, so the memory lever is read-ahead off —
+        // the documented trade of prefetch throughput for halved,
+        // thread-free reader memory on memory-starved executors).
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -180,10 +190,17 @@ object MemProbe {
           println(f"[memprobe:$mode] $n%-26s ${sec}%7.2fs  spillMem ${sm / 1e6}%9.1fMB  spillDisk ${sd / 1e6}%9.1fMB  peakExec ${peakExec.get / 1e6}%8.1fMB  gc ${gc}%6.2fs  hash $hash")
           s""""$n":{"sec":${s3(sec)},"hash":"$hash","spill_mem_mb":${s3(sm / 1e6)},"spill_disk_mb":${s3(sd / 1e6)},"peak_exec_mb":${s3(peakExec.get / 1e6)},"gc_sec":${s3(gc)},"oom":false}"""
         case Left(e) =>
+          // an executor-thread OOM often surfaces wrapped in a generic
+          // SparkException (INTERNAL_ERROR / stage-failure text) with no
+          // OutOfMemoryError in the cause CHAIN — check message text too
           val oom = {
             var c: Throwable = e; var found = false
             while (c != null && !found) {
-              found = c.isInstanceOf[OutOfMemoryError]; c = c.getCause
+              found = c.isInstanceOf[OutOfMemoryError] ||
+                (c.getMessage != null &&
+                  (c.getMessage.contains("OutOfMemoryError") ||
+                    c.getMessage.contains("Java heap space")))
+              c = c.getCause
             }
             found
           }

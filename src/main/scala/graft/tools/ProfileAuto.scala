@@ -43,6 +43,17 @@ object ProfileAuto {
       t("stat sampled m=8") {
         Dedup.tfidfPrefixMassRatioSampled(docs, "doc_id", "text", n, 0.5); ()
       }
+      t("stat sampled AQE-off") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          Dedup.tfidfPrefixMassRatioSampled(docs, "doc_id", "text", n, 0.5)
+          ()
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      t("stat sampled m=32") {
+        Dedup.tfidfPrefixMassRatioSampled(docs, "doc_id", "text", n, 0.5,
+          m = 32); ()
+      }
       t("plain solo") {
         Dedup.tfidfCosinePairs(docs, "doc_id", "text", n, 0.5)
           .write.format("noop").mode("overwrite").save()

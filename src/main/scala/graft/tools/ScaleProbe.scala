@@ -126,7 +126,8 @@ object ScaleProbe {
     * arg gives R2) so the artifact carries a scaling EXPONENT — two
     * points give d(log t)/d(log data), not just one ratio. */
   private val steep = Seq(
-    "llm_dedup_prefix", "llm_semantic_dedup_ivf", "llm_tfidf_pairs")
+    "llm_dedup_prefix", "llm_semantic_dedup_ivf", "llm_tfidf_pairs",
+    "llm_tfidf_pairs_auto")
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("BENCH_SCALE_r08.json")
