@@ -173,7 +173,20 @@ object Bench {
         // keep min-of-3 (comparable with prior rounds; the min is the
         // uncontended reading there).
         val fastTail = base.forall(_ >= 0) && base.min < 0.3
-        val times = if (fastTail) base ++ Seq(onePass(), onePass()) else base
+        // Burst guard (r9): the round-9 host shows intermittent
+        // multi-minute external slowdown bursts that can straddle all 3
+        // of a heavy query's passes (observed: tpch_q11 min-of-3 reading
+        // 2.29 s in one run and 0.86 s in the next, zero code change) —
+        // invisible to the before/after sentinel. High dispersion across
+        // the base passes is the in-run fingerprint of a burst edge, so
+        // a heavy query whose max/min spread exceeds 1.8 takes 2 extra
+        // passes before reporting the min; a genuinely stable reading
+        // never pays them.
+        val burstSuspect = !fastTail && base.forall(_ >= 0) &&
+          base.max / math.max(base.min, 1e-9) > 1.8
+        val times =
+          if (fastTail || burstSuspect) base ++ Seq(onePass(), onePass())
+          else base
         val value =
           if (!times.forall(_ >= 0)) -1.0
           else if (fastTail) times.sorted.apply(times.size / 2)
