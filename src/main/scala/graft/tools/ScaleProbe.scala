@@ -210,8 +210,15 @@ object ScaleProbe {
     // replication the heap can't hold) records -1 instead of killing
     // the whole probe artifact.
     def min3(n: String, dir: String): Double =
-      try Seq(time(n, dir), time(n, dir), time(n, dir)).min
-      catch { case e: Throwable =>
+      try {
+        val base = Seq(time(n, dir), time(n, dir), time(n, dir))
+        // burst guard (r9, same as Bench): intermittent multi-minute host
+        // slowdowns can straddle all 3 passes; high in-run dispersion is
+        // the burst fingerprint — take 2 extra passes before reporting
+        if (base.max / math.max(base.min, 1e-9) > 1.8)
+          (base ++ Seq(time(n, dir), time(n, dir))).min
+        else base.min
+      } catch { case e: Throwable =>
         System.err.println(s"[probe] $n FAILED on $dir: ${e.getMessage}")
         -1.0
       }
