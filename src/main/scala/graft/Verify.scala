@@ -36,6 +36,12 @@ object Verify {
       else builder0
     val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
+      // same AQE initial-partition discipline as Context.local/Bench (r10):
+      // gated queries run under the partition sizing production sessions use
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // graft optimizer rules active in the graded session (same wiring as
       // Context.local) — gated queries run the plans users would get
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -124,6 +124,20 @@ object Context {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE sizes coalescible exchanges from this starting count down to
+      // the 64 MB advisory — `shufflePartitions` alone would CAP the
+      // parallelism of every big shuffle (AQE can only merge, not split;
+      // the r9 x30 probe's pair aggregate spilled hundreds of files per
+      // task because its exchange was pinned at 32 reducers). Standard
+      // AQE discipline: start high, let measured map output decide.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // companion knob: cached plans otherwise pin their UNCOALESCED
+      // initial partitioning (AQE may not change cached-plan output
+      // partitioning by default), so every consumer of a persisted
+      // intermediate would launch 1024 tiny tasks per stage
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -715,6 +715,37 @@ object Dedup {
       .select(col(idCol), col("sh"), (col("tf") * col("idf")).as("wgt"))
   }
 
+  /** Pair-incidence budget per posting task: each in-bucket ordered pair
+    * is one partial-aggregate hash entry (~64 B: two long-hashed doc keys,
+    * the running dot, map overhead), so 4M incidences ≈ 256 MB raw per
+    * task — at most a couple of sort-fallback spill runs under the tight
+    * probe's ~150 MB/task execution budget, zero under normal budgets. */
+  private val TargetPairIncidencesPerTask = 4000000L
+
+  /** Posting-bucket partition count sized to the PAIR EXPLOSION (see the
+    * r10 note on [[tfidfCosinePairs]]): Σ_t df(t)·(df(t)−1)/2 over the
+    * capped posting table is exactly the number of in-bucket ordered pairs
+    * the posting plan generates — one linear count aggregate, driver state
+    * = one double. None ⇒ the session partition count already bounds
+    * per-task explosion (small corpora: plan unchanged, nothing eager
+    * beyond the aggregate itself). The 8192 cap bounds task-launch
+    * overhead; a corpus past 8192 × 4M ≈ 3×10¹⁰ incidences is far beyond
+    * where this EXACT all-pairs path is the right tool (use the
+    * prefix/auto or capped ngram/minhash family — the standing verdict). */
+  private def postingPairParts(w: DataFrame): Option[Int] = {
+    val session =
+      w.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val r = w.groupBy(col("sh"))
+      .agg(count(lit(1)).as("c"))
+      // double sums: Σ df² overflows Long on an uncapped 100 TB corpus
+      .agg(sum(col("c").cast("double") * (col("c").cast("double") - 1) / 2)
+        .as("m"))
+      .head()
+    val incidences = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val np = math.ceil(incidences / TargetPairIncidencesPerTask).toInt
+    if (np <= session) None else Some(math.min(np, 8192))
+  }
+
   /** All id pairs (a < b) with TF-IDF cosine similarity ≥ threshold over
     * word-n-gram terms — lexical near-dup/similarity scoring that, unlike
     * set-based Jaccard, weighs WHICH terms two documents share: rare-term
@@ -732,7 +763,13 @@ object Dedup {
     * additions, so cross-engine comparisons must round — both the emitted
     * score and the threshold test use round(·, 6), making the qualifying
     * pair set itself engine-portable (a raw `cos ≥ t` test could disagree
-    * across engines for a pair a few ulps from the threshold). */
+    * across engines for a pair a few ulps from the threshold).
+    *
+    * EAGER since r10 (like [[tfidfCosinePairsAuto]]): CONSTRUCTION runs
+    * the posting build plus one count aggregate to size the pair-explosion
+    * stage to the corpus (see the in-body note) — the materialized cache
+    * is reused by the returned plan, so total work is unchanged; callers
+    * composing plans without executing them pay the posting build early. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxDocFreq: Option[Int] = Some(500)): DataFrame = {
@@ -740,6 +777,22 @@ object Dedup {
     // dot product; scoped lifecycle (released on the next call / releaseCaches)
     val w = persistScoped(s"tfidfW:$idCol:$textCol:$n:$maxDocFreq",
       tfidfWeights(df, idCol, textCol, n, maxDocFreq))
+    // EAGER pair-shuffle sizing (r10, the x30 fan-in fix): one count
+    // aggregate over the just-persisted posting table (the action also
+    // materializes the cache every later stage reuses, so the work is
+    // rescheduled, not added) measures the pair EXPLOSION Σ df·(df−1)/2 —
+    // the one volume AQE cannot size from map-output bytes, because it
+    // happens downstream of the posting exchange (a 64 MB posting
+    // partition explodes ~df-fold). When the explosion outgrows the
+    // session partition count, the posting aggregate is explicitly
+    // repartitioned so each task explodes a bounded slice: the r9 x30
+    // probe ran this plan with 32 posting tasks × ~100M incidences each,
+    // and the partial pair aggregate's sort-fallback spilled hundreds of
+    // files per task whose merge readers (1 MiB-floored buffers) OOM'd a
+    // 3 GB heap — the fan-in was a partition-count artifact, not operator
+    // working set. np is a deterministic function of the corpus, so
+    // normal/tight probe runs partition identically (hash parity).
+    val pairParts = postingPairParts(w)
     // norms persisted too: it feeds TWO broadcast builds (id_a and id_b
     // sides) whose projections alias differently, so exchange reuse does
     // not kick in and each build would re-aggregate the posting table
@@ -747,7 +800,19 @@ object Dedup {
     val norms = persistScoped(s"tfidfN:$idCol:$textCol:$n:$maxDocFreq",
       w.groupBy(col(idCol))
         .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm")))
-    val dots = w
+    // explicit repartition (pair-mass-sized) satisfies the posting
+    // groupBy's clustering requirement, so the aggregate plans WITHOUT a
+    // second exchange — and collect_list loses nothing to the skipped
+    // map-side partial (a list partial is the same bytes as its input).
+    // The pair aggregate below keeps its partial/final split: map-side
+    // combine collapses same-pair contributions within a posting task
+    // (near-dup pairs share many terms), which an explicit repartition
+    // of raw pair rows would forfeit.
+    val postings = pairParts match {
+      case Some(np) => w.repartition(np, col("sh"))
+      case None     => w
+    }
+    val dots = postings
       .groupBy(col("sh"))
       .agg(collect_list(struct(col(idCol).as("id"), col("wgt"))).as("xs"))
       .select(explode(col("xs")).as("a"), col("xs"))
@@ -959,8 +1024,79 @@ object Dedup {
                                   m: Int = 8): Double = {
     val stat = df.filter(pmod(xxhash64(col(idCol)), lit(m.toLong)) === 0)
     val sampleCap = maxDocFreq.map(c => math.max(1, c / m))
-    massRatioOf(tfidfPrefixParts(stat, idCol, textCol, n, threshold,
-      sampleCap, tag = "Samp", cache = false)._1)
+    // FUSED chain (r10): the unfused route (tfidfPrefixParts) pays ~11
+    // exchanges plus a full window sort because its annotated rows feed
+    // three consumers; the pre-flight consumes ONLY the two pair-mass
+    // counts, so the plan collapses to 8 smaller exchanges — the r9 floor
+    // was stage-launch latency, and stages are what this removes:
+    //  - one per-term grouping carries BOTH df and the posting list
+    //    (unfused: a df aggregate then a posting join back on sh);
+    //  - the per-doc norm is an in-row array aggregate over one grouping
+    //    (unfused: a norms groupBy plus the w ⋈ norms join);
+    //  - in the (mw desc, sh asc) order every suffix bound is
+    //    non-increasing (all contributions positive), so the suffix-bound
+    //    window's per-row __keep bit collapses to "the first k sorted
+    //    positions" with k from one running-sum pass over each doc's
+    //    sorted term array — no window, no sort exchange.
+    // Same mathematics as massRatioOf∘tfidfPrefixParts on the same sample
+    // (Σ df_pref² / Σ df² under the sample-scaled cap) up to float
+    // summation order — immaterial against the two-orders-of-magnitude
+    // regime separation SkewProbeSpec pins.
+    val tf = shingleTf(stat, idCol, textCol, n)
+    val byTerm = tf.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        collect_list(struct(col(idCol).as("id"), col("tf"))).as("xs"))
+      .filter(sampleCap.map(c => col("df") <= c).getOrElse(lit(true)))
+    val nDocs = tf.agg(countDistinct(col(idCol)).as("n_docs"))
+    // 1-row scalar attach (the tfidfWeights discipline) — idf arithmetic
+    // identical to tfidfWeights, including the cross-engine round
+    val wRows = byTerm.crossJoin(broadcast(nDocs))
+      .select(col("sh"), explode(col("xs")).as("x"),
+        round(log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1, 6)
+          .as("idf"))
+      .select(col("x.id").as("id"), col("sh"),
+        (col("x.tf") * col("idf")).as("wgt"))
+    val nwRows = wRows.groupBy(col("id"))
+      .agg(collect_list(struct(col("sh"), col("wgt"))).as("ys"))
+      .select(col("id"), col("ys"),
+        sqrt(aggregate(col("ys"), lit(0.0d),
+          (a, y) => a + y.getField("wgt") * y.getField("wgt"))).as("nrm"))
+      .select(col("id"), explode(col("ys")).as("y"), col("nrm"))
+      .select(col("id"), col("y").getField("sh").as("sh"),
+        (col("y").getField("wgt") / col("nrm")).as("nw"))
+    val maxw = nwRows.groupBy(col("sh")).agg(max(col("nw")).as("mw"))
+    val perDoc = nwRows.join(maxw, "sh")
+      .select(col("id"),
+        struct((-col("mw")).as("negmw"), col("sh"),
+          (col("nw") * col("mw")).as("c")).as("z"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("z"))).as("zs"))
+      .withColumn("total",
+        aggregate(col("zs"), lit(0.0d), (a, z) => a + z.getField("c")))
+      // keep(i) ⇔ total − prefix(i−1) ≥ t − ε, the window's bound verbatim
+      // (ε covers round(·,6) slack + float error, same as tfidfPrefixParts)
+      .withColumn("k",
+        aggregate(col("zs"),
+          struct(lit(0.0d).as("run"), lit(0).as("k")),
+          (a, z) => struct(
+            (a.getField("run") + z.getField("c")).as("run"),
+            (a.getField("k") + when(
+              col("total") - a.getField("run") >= threshold - 1e-6, 1)
+              .otherwise(0)).as("k")),
+          a => a.getField("k")))
+    val cp = perDoc
+      .select(explode(slice(col("zs"), lit(1), col("k"))).as("z"))
+      .select(col("z").getField("sh").as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("cp"))
+    // both pair masses in ONE action; the crossJoin is a 1-row × 1-row
+    // scalar attach (byTerm's exchange is reused across the two readers)
+    val r = cp.agg(sum(col("cp").cast("double") * col("cp")).as("pre"))
+      .crossJoin(
+        byTerm.agg(sum(col("df").cast("double") * col("df")).as("tot")))
+      .head()
+    val total = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+    if (total == 0.0) 1.0
+    else (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / total
   }
 
   /** Both pair masses in ONE aggregate over the annotated posting table:
@@ -1027,13 +1163,15 @@ object Dedup {
     * ~2.6 s cold at sf0.1). Sharing only pays when PREFIX wins; sampling
     * is cheap on both sides, so sampled is the default.
     *
-    * EAGER by design, unlike every sibling operator: CONSTRUCTING this
-    * DataFrame runs Spark jobs (the posting-table build + one mass
-    * aggregate) to make the plan-shape decision, and the selection is
-    * frozen at construction — callers composing plans without executing
-    * them still pay the pre-flight, and a source that mutates between
-    * construction and action keeps the originally selected branch (both
-    * branches stay exact regardless). */
+    * EAGER by design: CONSTRUCTING this DataFrame runs Spark jobs (the
+    * posting-table build + one mass aggregate) to make the plan-shape
+    * decision, and the selection is frozen at construction — callers
+    * composing plans without executing them still pay the pre-flight, and
+    * a source that mutates between construction and action keeps the
+    * originally selected branch (both branches stay exact regardless).
+    * Since r10 [[tfidfCosinePairs]] is eager too (its pair-shuffle sizing
+    * statistic); the sampled pre-flight here stays uncached/tagged so the
+    * two eager steps never fight over scoped caches. */
   def tfidfCosinePairsAuto(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            maxDocFreq: Option[Int] = Some(500),

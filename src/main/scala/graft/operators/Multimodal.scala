@@ -115,6 +115,18 @@ object Multimodal {
         out
     }
 
+  /** Effective codec batch size: the session conf
+    * `spark.graft.multimodal.batchSize` (when set) overrides the per-call
+    * default — the fleet-wide operational knob for sizing codec batches,
+    * and the hook SpillParitySpec uses to force the batch seam down to a
+    * few rows in CI (batch boundaries must never change results).
+    * Resolved DRIVER-side (session confs are not readable inside
+    * mapPartitions closures on executors). */
+  private def effBatch(df: DataFrame, batchSize: Int): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.graft.multimodal.batchSize").toInt)
+      .getOrElse(batchSize)
+
   /** Batched feature extraction over the binary column: partition-local,
     * batch-at-a-time iteration (the exact shape of an Arrow/Pandas-UDF
     * bridge: the decoder sees `batchSize` payloads per call, amortizing
@@ -126,8 +138,9 @@ object Multimodal {
     val idIx = df.schema.fieldIndex(idCol)
     val binIx = df.schema.fieldIndex(binCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bs = effBatch(df, batchSize)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+      it.grouped(bs).flatMap { batch =>
         // one decoder invocation per batch — swap point for a JNI codec
         batch.map { row =>
           val payload = row.getAs[Array[Byte]](binIx)
@@ -162,8 +175,9 @@ object Multimodal {
     val idIx = df.schema.fieldIndex(idCol)
     val binIx = df.schema.fieldIndex(binCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bs = effBatch(df, batchSize)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+      it.grouped(bs).flatMap { batch =>
         batch.map { row =>
           decodeGray(row.getAs[Array[Byte]](binIx)) match {
             case None =>
@@ -210,8 +224,9 @@ object Multimodal {
     val idIx = df.schema.fieldIndex(idCol)
     val binIx = df.schema.fieldIndex(binCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bs = effBatch(df, batchSize)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+      it.grouped(bs).flatMap { batch =>
         batch.map { row =>
           decodeGray(row.getAs[Array[Byte]](binIx)) match {
             case None => Row(row.get(idIx), null)
@@ -276,8 +291,9 @@ object Multimodal {
     val idIx = df.schema.fieldIndex(idCol)
     val binIx = df.schema.fieldIndex(binCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bs = effBatch(df, batchSize)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+      it.grouped(bs).flatMap { batch =>
         batch.map { row =>
           decodePcm16(row.getAs[Array[Byte]](binIx)) match {
             case None =>
@@ -322,8 +338,9 @@ object Multimodal {
     val idIx = df.schema.fieldIndex(idCol)
     val binIx = df.schema.fieldIndex(binCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bs = effBatch(df, batchSize)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+      it.grouped(bs).flatMap { batch =>
         batch.map { row =>
           decodePcm16(row.getAs[Array[Byte]](binIx)) match {
             case Some((_, _, s)) if s.length >= 65 =>
@@ -367,8 +384,9 @@ object Multimodal {
     val idIx = df.schema.fieldIndex(idCol)
     val binIx = df.schema.fieldIndex(binCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val bs = effBatch(df, batchSize)
     df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+      it.grouped(bs).flatMap { batch =>
         batch.map { row =>
           decodeGray(row.getAs[Array[Byte]](binIx)) match {
             case None => Row(row.get(idIx), null)

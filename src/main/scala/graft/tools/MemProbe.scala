@@ -83,6 +83,21 @@ object MemProbe {
         else "10485760")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition sizing (r10): shuffle.partitions is the FLOOR a
+      // shuffle can coalesce down to only if it also STARTS higher —
+      // with the initial count pinned at 32, a 30x corpus's pair
+      // aggregate got 32 reduce tasks and spilled hundreds of files
+      // per task (the r9 tfidf fan-in floor). Starting every
+      // coalescible exchange at 1024 lets AQE size partitions to the
+      // measured map output (64 MB advisory) in both directions:
+      // small corpora coalesce back to a handful, big shuffles keep
+      // the parallelism their volume needs. Standard AQE discipline.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // companion knob: cached plans otherwise pin their UNCOALESCED
+      // initial partitioning (AQE may not change cached-plan output
+      // partitioning by default), so every consumer of a persisted
+      // intermediate would launch 1024 tiny tasks per stage
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -104,13 +119,23 @@ object MemProbe {
         // the documented trade of prefetch throughput for halved,
         // thread-free reader memory on memory-starved executors).
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+        // memory-starved executors want ADVISORY-sized (64 MB) reduce
+        // partitions, not parallelism-first coalescing: with 8 cores the
+        // default rule targets totalBytes/8 per partition — a 15 GB pair
+        // shuffle at x30 would land 1.9 GB on each ~75 MB-budget task and
+        // rebuild the spill fan-in this probe exists to bound
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          "false")
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // probes that target a scale-probe corpus synthesize it on demand
     // (the driver may clean target/ between rounds; the synth is
     // deterministic so a rebuilt corpus hashes identically)
-    val synthR = "x(\\d+)$".r.findFirstMatchIn(dataDir).map(_.group(1).toInt)
+    // stripSuffix: a trailing separator would otherwise defeat the $-anchored
+    // match, silently skip synthesis, and fail later on missing parquet files
+    val synthR = "x(\\d+)$".r
+      .findFirstMatchIn(dataDir.stripSuffix("/")).map(_.group(1).toInt)
     if (dataDir.contains("scale-probe") && synthR.nonEmpty &&
         !new java.io.File(dataDir, "_PROBE_READY").exists()) {
       val src =
@@ -193,14 +218,18 @@ object MemProbe {
           // an executor-thread OOM often surfaces wrapped in a generic
           // SparkException (INTERNAL_ERROR / stage-failure text) with no
           // OutOfMemoryError in the cause CHAIN — check message text too
+          // the message-text heuristic can false-positive on errors that
+          // merely QUOTE an earlier OOM — acceptable for a probe (an OOM
+          // flag triggers a manual look either way); the walk is bounded
+          // because a cyclic getCause chain would otherwise hang the probe
           val oom = {
-            var c: Throwable = e; var found = false
-            while (c != null && !found) {
+            var c: Throwable = e; var found = false; var depth = 0
+            while (c != null && !found && depth < 20) {
               found = c.isInstanceOf[OutOfMemoryError] ||
                 (c.getMessage != null &&
                   (c.getMessage.contains("OutOfMemoryError") ||
                     c.getMessage.contains("Java heap space")))
-              c = c.getCause
+              c = c.getCause; depth += 1
             }
             found
           }

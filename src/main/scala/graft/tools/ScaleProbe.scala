@@ -127,7 +127,11 @@ object ScaleProbe {
     * points give d(log t)/d(log data), not just one ratio. */
   private val steep = Seq(
     "llm_dedup_prefix", "llm_semantic_dedup_ivf", "llm_tfidf_pairs",
-    "llm_tfidf_pairs_auto")
+    "llm_tfidf_pairs_auto",
+    // r10 additions (the r9 verdict's next-steepest watch list): minhash
+    // tracked 3.9 at 10x under ~45x true-pair growth, dsir 6.4 at 10x —
+    // exponents now on record before anyone scales them further
+    "llm_dedup_minhash", "llm_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("BENCH_SCALE_r08.json")
@@ -145,6 +149,21 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition sizing (r10): shuffle.partitions is the FLOOR a
+      // shuffle can coalesce down to only if it also STARTS higher —
+      // with the initial count pinned at 32, a 30x corpus's pair
+      // aggregate got 32 reduce tasks and spilled hundreds of files
+      // per task (the r9 tfidf fan-in floor). Starting every
+      // coalescible exchange at 1024 lets AQE size partitions to the
+      // measured map output (64 MB advisory) in both directions:
+      // small corpora coalesce back to a handful, big shuffles keep
+      // the parallelism their volume needs. Standard AQE discipline.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // companion knob: cached plans otherwise pin their UNCOALESCED
+      // initial partitioning (AQE may not change cached-plan output
+      // partitioning by default), so every consumer of a persisted
+      // intermediate would launch 1024 tiny tasks per stage
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -214,9 +233,18 @@ object ScaleProbe {
         val base = Seq(time(n, dir), time(n, dir), time(n, dir))
         // burst guard (r9, same as Bench): intermittent multi-minute host
         // slowdowns can straddle all 3 passes; high in-run dispersion is
-        // the burst fingerprint — take 2 extra passes before reporting
+        // the burst fingerprint — take 2 extra passes before reporting.
+        // The extras run in their OWN try: a transient failure on pass 4
+        // or 5 must not discard three already-valid readings (the guard
+        // may only improve a reading, never destroy one).
         if (base.max / math.max(base.min, 1e-9) > 1.8)
-          (base ++ Seq(time(n, dir), time(n, dir))).min
+          try (base ++ Seq(time(n, dir), time(n, dir))).min
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[probe] $n burst-guard extras failed on $dir " +
+                s"(keeping base min): ${e.getMessage}")
+            base.min
+          }
         else base.min
       } catch { case e: Throwable =>
         System.err.println(s"[probe] $n FAILED on $dir: ${e.getMessage}")

@@ -68,6 +68,21 @@ object SkewProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition sizing (r10): shuffle.partitions is the FLOOR a
+      // shuffle can coalesce down to only if it also STARTS higher —
+      // with the initial count pinned at 32, a 30x corpus's pair
+      // aggregate got 32 reduce tasks and spilled hundreds of files
+      // per task (the r9 tfidf fan-in floor). Starting every
+      // coalescible exchange at 1024 lets AQE size partitions to the
+      // measured map output (64 MB advisory) in both directions:
+      // small corpora coalesce back to a handful, big shuffles keep
+      // the parallelism their volume needs. Standard AQE discipline.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // companion knob: cached plans otherwise pin their UNCOALESCED
+      // initial partitioning (AQE may not change cached-plan output
+      // partitioning by default), so every consumer of a persisted
+      // intermediate would launch 1024 tiny tasks per stage
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -116,4 +116,54 @@ class SpillParitySpec extends SparkSpec {
       cold()
     }
   }
+
+  /** Parity under a pathological valve/batch conf, shared by the two
+    * custom-kernel tests below: baseline hashes at default confs, then
+    * the same queries with `confs` applied. */
+  private def parityUnder(confs: Map[String, String],
+                          names: Seq[String]): Unit = {
+    val saved = confs.keys.map { k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }.toMap
+    try {
+      val baseline = names.map { n =>
+        cold(); n -> contentHash(SparkEntry.queries(n)(spark, spillSf))
+      }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val mismatches = baseline.flatMap { case (n, want) =>
+        cold()
+        val got = contentHash(SparkEntry.queries(n)(spark, spillSf))
+        if (got == want) None else Some(s"$n: baseline $want != forced $got")
+      }
+      assert(mismatches.isEmpty,
+        s"hash parity broke: ${mismatches.mkString("; ")}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      cold()
+    }
+  }
+
+  test("GroupedTopKExec valve path (maxGroupsPerPartition forced to a few " +
+    "groups) leaves op_grouped_topk and llm_domain_cap hashes unchanged") {
+    // 4 groups per partition: the partial phase flushes its heaps in many
+    // bounded batches and the final phase routes through the spillable
+    // external sort — the r9-verdict gap: the valve (GroupedTopK.scala's
+    // overflow path) had no in-CI pressure test, only the 1M-default fast
+    // path which sf-scale data never overflows
+    parityUnder(Map("spark.graft.topk.maxGroupsPerPartition" -> "4"),
+      Seq("op_grouped_topk", "llm_domain_cap"))
+  }
+
+  test("multimodal batch seam (batchSize forced to 3) leaves " +
+    "llm_image_dedup and llm_multimodal_features hashes unchanged") {
+    // 3-payload batches: ~85x more decoder invocations than the 256
+    // default — batch boundaries must never change decode results or
+    // downstream dedup (the mapPartitions seam is the one custom kernel
+    // the MemProbe battery's spill surfaces don't cover)
+    parityUnder(Map("spark.graft.multimodal.batchSize" -> "3"),
+      Seq("llm_image_dedup", "llm_multimodal_features"))
+  }
 }

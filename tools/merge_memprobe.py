@@ -16,7 +16,7 @@ def main() -> None:
     pairs = list(zip(sys.argv[3::2], sys.argv[4::2]))
     queries = {}
     meta = []
-    for npath, tpath in pairs:
+    for i, (npath, tpath) in enumerate(pairs):
         normal = json.load(open(npath))
         tight = json.load(open(tpath))
         meta.append({
@@ -29,7 +29,12 @@ def main() -> None:
             trow = tight["queries"].get(name)
             if trow is None:
                 continue
-            key = name if name not in queries else f"{name}@{normal['data']}"
+            # pair index in the fallback key: a name+data collision across
+            # three or more pairs would otherwise silently overwrite a row
+            key = name if name not in queries \
+                else f"{name}@{normal['data']}#{i}"
+            if key in queries:
+                raise SystemExit(f"duplicate merged key {key}")
             queries[key] = {
                 "data": normal["data"],
                 "hash_match": (not nrow.get("error")) and (not trow.get("error"))
