@@ -101,6 +101,15 @@ object Bench {
       // partitioning by default), so every consumer of a persisted
       // intermediate would launch 1024 tiny tasks per stage
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE may coalesce and re-balance, but NOT convert joins to
+      // broadcasts at runtime: a side whose compressed shuffle bytes
+      // read under the threshold can deserialize to a hashed relation
+      // hundreds of MB large, and mid-job (executors loaded, storage
+      // full of scoped caches) the build OOMs — observed on
+      // llm_dedup_prefix x30 once canChangeCachedPlanOutputPartitioning
+      // let AQE replan above the persisted prefix sets. Broadcasts that
+      // matter are pinned explicitly at the operator (pinBroadcast).
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // the graft optimizer rules (RewriteWindowTopK) must govern the
       // measured plans, same as any production session built via
       // Context.local

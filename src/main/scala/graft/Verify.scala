@@ -42,6 +42,10 @@ object Verify {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // no RUNTIME join-to-broadcast conversions (see Bench/MemProbe note:
+      // compressed-bytes-measured sides can deserialize to huge hashed
+      // relations mid-job); operator-level pinBroadcast hints still apply
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // graft optimizer rules active in the graded session (same wiring as
       // Context.local) — gated queries run the plans users would get
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -138,6 +138,10 @@ object Context {
       // intermediate would launch 1024 tiny tasks per stage
       .config(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // no RUNTIME join-to-broadcast conversions (see Bench/MemProbe note:
+      // compressed-bytes-measured sides can deserialize to huge hashed
+      // relations mid-job); operator-level pinBroadcast hints still apply
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -22,6 +22,7 @@ object ProfileAuto {
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "1024"))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_REPART", "true"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
