@@ -39,13 +39,13 @@ object Verify {
       // same AQE initial-partition discipline as Context.local/Bench (r10):
       // gated queries run under the partition sizing production sessions use
       .config(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // no RUNTIME join-to-broadcast conversions (see Bench/MemProbe note:
-      // compressed-bytes-measured sides can deserialize to huge hashed
-      // relations mid-job); operator-level pinBroadcast hints still apply
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // runtime join-to-broadcast conversions capped at 1 MB compressed
+      // (see Bench/MemProbe note: a 10 MB-compressed side can deserialize
+      // to a build-OOM-sized hashed relation mid-job); pins still apply
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "1048576")
       // graft optimizer rules active in the graded session (same wiring as
       // Context.local) — gated queries run the plans users would get
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -131,17 +131,17 @@ object Context {
       // task because its exchange was pinned at 32 reducers). Standard
       // AQE discipline: start high, let measured map output decide.
       .config(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // companion knob: cached plans otherwise pin their UNCOALESCED
       // initial partitioning (AQE may not change cached-plan output
       // partitioning by default), so every consumer of a persisted
-      // intermediate would launch 1024 tiny tasks per stage
+      // intermediate would launch 256 tiny tasks per stage
       .config(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // no RUNTIME join-to-broadcast conversions (see Bench/MemProbe note:
-      // compressed-bytes-measured sides can deserialize to huge hashed
-      // relations mid-job); operator-level pinBroadcast hints still apply
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // runtime join-to-broadcast conversions capped at 1 MB compressed
+      // (see Bench/MemProbe note: a 10 MB-compressed side can deserialize
+      // to a build-OOM-sized hashed relation mid-job); pins still apply
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

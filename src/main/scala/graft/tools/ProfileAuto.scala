@@ -19,10 +19,10 @@ object ProfileAuto {
       .config("spark.sql.adaptive.enabled", "true")
       // match the bench session's r10 AQE discipline (overridable for A/B)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "1024"))
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_REPART", "true"))
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "1048576")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -154,25 +154,24 @@ object ScaleProbe {
       // with the initial count pinned at 32, a 30x corpus's pair
       // aggregate got 32 reduce tasks and spilled hundreds of files
       // per task (the r9 tfidf fan-in floor). Starting every
-      // coalescible exchange at 1024 lets AQE size partitions to the
+      // coalescible exchange at 256 lets AQE size partitions to the
       // measured map output (64 MB advisory) in both directions:
       // small corpora coalesce back to a handful, big shuffles keep
       // the parallelism their volume needs. Standard AQE discipline.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // companion knob: cached plans otherwise pin their UNCOALESCED
       // initial partitioning (AQE may not change cached-plan output
       // partitioning by default), so every consumer of a persisted
-      // intermediate would launch 1024 tiny tasks per stage
+      // intermediate would launch 256 tiny tasks per stage
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // AQE may coalesce and re-balance, but NOT convert joins to
-      // broadcasts at runtime: a side whose compressed shuffle bytes
-      // read under the threshold can deserialize to a hashed relation
-      // hundreds of MB large, and mid-job (executors loaded, storage
-      // full of scoped caches) the build OOMs — observed on
-      // llm_dedup_prefix x30 once canChangeCachedPlanOutputPartitioning
-      // let AQE replan above the persisted prefix sets. Broadcasts that
-      // matter are pinned explicitly at the operator (pinBroadcast).
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // runtime join-to-broadcast conversions are capped at 1 MB of
+      // COMPRESSED shuffle bytes (not the 10 MB static default): once
+      // canChangeCachedPlanOutputPartitioning let AQE replan above
+      // persisted intermediates, a ~10 MB-compressed side deserialized
+      // into a hashed relation big enough to OOM the build mid-x30-job
+      // (llm_dedup_prefix). 1 MB compressed ≈ ≤30 MB built — safe on any
+      // executor; broadcasts that matter are pinned at the operator.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "1048576")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
