@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -717,10 +717,24 @@ object Dedup {
 
   /** Pair-incidence budget per posting task: each in-bucket ordered pair
     * is one partial-aggregate hash entry (~64 B: two long-hashed doc keys,
-    * the running dot, map overhead), so 4M incidences ≈ 256 MB raw per
-    * task — at most a couple of sort-fallback spill runs under the tight
-    * probe's ~150 MB/task execution budget, zero under normal budgets. */
-  private val TargetPairIncidencesPerTask = 4000000L
+    * the running dot, map overhead), so 1.5M incidences ≈ 96 MB raw per
+    * task — sized to FIT the worst-case per-task execution grant we run
+    * under (8 GB heap × 0.6 fraction / 32 concurrent tasks ≈ 150 MB; any
+    * production executor with fewer cores per GB grants more), so the
+    * partial pair aggregate stays in memory instead of sort-spilling its
+    * whole volume. r10 A/B at x30 (MemProbe normal, hash-identical across
+    * all three): 4M → 185.9 s / 245 GB mem-spill / 132.8 s GC; 1.5M →
+    * 167.2 s / 205 GB / 96.5 s; 750k → 171.3 s / 109 GB / 110.7 s (task
+    * overhead starts losing the spill win). The residual spill lives in
+    * the posting collect_list and final reduce aggregates, not this knob.
+    * Overridable per session (`spark.graft.tfidf.pairIncidencesPerTask`)
+    * for A/B probes; np must stay a pure function of the CORPUS within one
+    * probe pair so normal/tight runs partition — and sum — identically. */
+  private val TargetPairIncidencesPerTask = 1500000L
+
+  private def pairIncidencesPerTask(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.tfidf.pairIncidencesPerTask")
+      .map(_.toLong).getOrElse(TargetPairIncidencesPerTask)
 
   /** Posting-bucket partition count sized to the PAIR EXPLOSION (see the
     * r10 note on [[tfidfCosinePairs]]): Σ_t df(t)·(df(t)−1)/2 over the
@@ -729,8 +743,8 @@ object Dedup {
     * = one double. None ⇒ the session partition count already bounds
     * per-task explosion (small corpora: plan unchanged, nothing eager
     * beyond the aggregate itself). The 8192 cap bounds task-launch
-    * overhead; a corpus past 8192 × 4M ≈ 3×10¹⁰ incidences is far beyond
-    * where this EXACT all-pairs path is the right tool (use the
+    * overhead; a corpus past 8192 × 1.5M ≈ 1.2×10¹⁰ incidences is far
+    * beyond where this EXACT all-pairs path is the right tool (use the
     * prefix/auto or capped ngram/minhash family — the standing verdict). */
   private def postingPairParts(w: DataFrame): Option[Int] = {
     val session =
@@ -742,7 +756,8 @@ object Dedup {
         .as("m"))
       .head()
     val incidences = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    val np = math.ceil(incidences / TargetPairIncidencesPerTask).toInt
+    val np =
+      math.ceil(incidences / pairIncidencesPerTask(w.sparkSession)).toInt
     if (np <= session) None else Some(math.min(np, 8192))
   }
 

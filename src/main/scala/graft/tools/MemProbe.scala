@@ -136,6 +136,9 @@ object MemProbe {
           "false")
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob for the tfidf pair-incidence budget (Dedup.postingPairParts)
+    sys.env.get("SPARK_GRAFT_TFIDF_INC").foreach(v =>
+      spark.conf.set("spark.graft.tfidf.pairIncidencesPerTask", v))
 
     // probes that target a scale-probe corpus synthesize it on demand
     // (the driver may clean target/ between rounds; the synth is
