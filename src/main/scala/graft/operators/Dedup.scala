@@ -827,14 +827,41 @@ object Dedup {
       case Some(np) => w.repartition(np, col("sh"))
       case None     => w
     }
-    val dots = postings
-      .groupBy(col("sh"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("wgt"))).as("xs"))
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a"), explode(col("xs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
+    // Pair generation: two plans produce the identical pair stream.
+    // "join" (default) — codegen'd self-join on the term key: both sides
+    // read the SAME user-specified repartition (exchange reuse = one
+    // shuffle), the merge join buffers at most df ≤ maxDocFreq rows per
+    // key, and every pair row stays an UnsafeRow end-to-end.
+    // "postings" — collect_list per term + double explode; the list
+    // aggregate is an ObjectHashAggregate (sort-fallback past 128 keys,
+    // never codegen'd) whose per-term JVM arrays churn the old gen.
+    // r10 A/B (MemProbe, hash-identical in all regimes; the ~205 GB x30
+    // mem-spill is the pair SUM aggregate itself, common to both plans):
+    // x30 normal 32c/8g join 149.9 s / 99.8 s GC vs postings 167-173 s /
+    // 113 s GC; x30 tight 3g/8c join 363.8 s vs postings 377.5 s; x10 a
+    // wash (24.2 vs 24.4 s). The join removes the one non-codegen
+    // operator from the hot path — the property that matters more, not
+    // less, on real multi-executor clusters. Conf kept for A/B.
+    val pairGen = df.sparkSession.conf
+      .getOption("spark.graft.tfidf.pairGen").getOrElse("join")
+    val dots =
+      if (pairGen == "postings")
+        postings
+          .groupBy(col("sh"))
+          .agg(collect_list(struct(col(idCol).as("id"), col("wgt"))).as("xs"))
+          .select(explode(col("xs")).as("a"), col("xs"))
+          .select(col("a"), explode(col("xs")).as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
+      else
+        postings.select(col("sh"), col(idCol).as("id_a"), col("wgt").as("wa"))
+          .join(
+            postings.select(col("sh").as("shb"), col(idCol).as("id_b"),
+              col("wgt").as("wb")),
+            col("sh") === col("shb") && col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(col("wa") * col("wb")).as("dot"))
     // norm joins: EXPLICIT broadcast of the per-doc norms side. Left to
     // itself the planner picked this locally, but under multi-process
     // executors with a cold posting cache its static size estimate

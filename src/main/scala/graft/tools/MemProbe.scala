@@ -136,9 +136,11 @@ object MemProbe {
           "false")
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // A/B knob for the tfidf pair-incidence budget (Dedup.postingPairParts)
+    // A/B knobs for the tfidf pair stage (Dedup.postingPairParts / pairGen)
     sys.env.get("SPARK_GRAFT_TFIDF_INC").foreach(v =>
       spark.conf.set("spark.graft.tfidf.pairIncidencesPerTask", v))
+    sys.env.get("SPARK_GRAFT_TFIDF_PAIRGEN").foreach(v =>
+      spark.conf.set("spark.graft.tfidf.pairGen", v))
 
     // probes that target a scale-probe corpus synthesize it on demand
     // (the driver may clean target/ between rounds; the synth is

@@ -25,9 +25,11 @@ object QuickTime {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // A/B knob for the tfidf pair-incidence budget (Dedup.postingPairParts)
+    // A/B knobs for the tfidf pair stage (Dedup.postingPairParts / pairGen)
     sys.env.get("SPARK_GRAFT_TFIDF_INC").foreach(v =>
       spark.conf.set("spark.graft.tfidf.pairIncidencesPerTask", v))
+    sys.env.get("SPARK_GRAFT_TFIDF_PAIRGEN").foreach(v =>
+      spark.conf.set("spark.graft.tfidf.pairGen", v))
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def pass(): Double = {

@@ -49,16 +49,17 @@ class PlanGuardSpec extends SparkSpec {
     "llm_embed_topk" -> 1,           // 1-row query-vector broadcast
     "llm_lm_score" -> 1,             // 2-row total/vocab aggregate
     "llm_semantic_dedup" -> 1,       // exact-pair mode (validation)
-    "llm_tfidf_pairs" -> 6,          // 1-row corpus-size (idf N) aggregate;
+    "llm_tfidf_pairs" -> 8,          // 1-row corpus-size (idf N) aggregate;
                                      // the cached weight relation is printed
-                                     // under dots + both norm joins (3×),
-                                     // and since the r10 eager pair-sizing
-                                     // statistic EXECUTES that cache during
-                                     // construction, its AdaptiveSparkPlan
-                                     // prints isFinalPlan=true — both the
+                                     // under both pair-join sides + both
+                                     // norm joins (4×), and since the r10
+                                     // eager pair-sizing statistic EXECUTES
+                                     // that cache during construction, its
+                                     // AdaptiveSparkPlan prints
+                                     // isFinalPlan=true — both the
                                      // "Final Plan" and "Initial Plan"
                                      // sections render the same cross, so
-                                     // 3 consumers × 2 renders = 6 printed,
+                                     // 4 consumers × 2 renders = 8 printed,
                                      // still ONE executed
     "llm_tfidf_pairs_prefix" -> 18,  // the SAME single 1-row idf-N scalar
                                      // cross, rendered once per consumer of
@@ -71,14 +72,14 @@ class PlanGuardSpec extends SparkSpec {
                                      // order-independent and tight again —
                                      // the r8 value 60 existed only to
                                      // absorb _auto's leftover cache state
-    "llm_tfidf_pairs_auto" -> 6,     // same single scalar cross rendered
+    "llm_tfidf_pairs_auto" -> 8,     // same single scalar cross rendered
                                      // under the selected (plain) branch's
                                      // weight-cache consumers, final +
                                      // initial AQE sections each (see
                                      // llm_tfidf_pairs — the branch runs
                                      // the same eager plain path after the
                                      // r9 unshare, so the count matches:
-                                     // 6 printed, ONE executed; reset
+                                     // 8 printed, ONE executed; reset
                                      // cache state)
     "llm_ccnet_buckets" -> 8,        // two 1-row scalar crosses (LM totals
                                      // n/v and the n_docs count); the
