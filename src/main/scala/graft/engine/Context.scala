@@ -142,6 +142,14 @@ object Context {
       // (see Bench/MemProbe note: a 10 MB-compressed side can deserialize
       // to a build-OOM-sized hashed relation mid-job); pins still apply
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "1048576")
+      // shuffle/spill compression: lz4 locally, env-overridable. r10 A/B:
+      // zstd LOSES on small-exchange corpora (sf0.1: per-block CPU with no
+      // byte payoff, e.g. llm_tfidf_pairs 2.36→3.65 s min) and WINS once
+      // shuffles/spills reach tens of GB (x30 corpus: tfidf −20% wall,
+      // −59% spill-disk bytes, −44% GC; prefix −30%/−59%/−79%, hashes
+      // identical) — set SPARK_GRAFT_IO_CODEC=zstd on big-shuffle fleets.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

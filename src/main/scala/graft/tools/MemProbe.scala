@@ -81,6 +81,10 @@ object MemProbe {
       .config("spark.sql.autoBroadcastJoinThreshold",
         if (sys.env.contains("SPARK_GRAFT_NO_BCAST")) "-1"
         else "10485760")
+      // A/B knob for shuffle/spill compression (core conf, builder-only):
+      // guide-§2.3 "measure both" — zstd trades CPU for bytes
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       // AQE partition sizing (r10): shuffle.partitions is the FLOOR a
