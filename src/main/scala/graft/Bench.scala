@@ -184,7 +184,7 @@ object Bench {
       val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
         .forall(_.group(1) == sfDir)
       val cpusOk = "\"cpus\"\\s*:\\s*([0-9]+)".r.findFirstMatchIn(txt)
-        .forall(_.group(1).toInt == cpus)
+        .forall(_.group(1).toInt == cpus.trim.toInt)
       if (!sfOk || !cpusOk) Map.empty
       else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
         .findAllMatchIn(txt)
