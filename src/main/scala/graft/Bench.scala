@@ -183,8 +183,14 @@ object Bench {
         java.nio.file.Paths.get(path)), "UTF-8")
       val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
         .forall(_.group(1) == sfDir)
+      // cpus gate (r11, per ADVICE): the reference file MUST carry a cpus
+      // field matching this run's core count — `.exists`, not `.forall`, so
+      // a cpus-less (pre-r10/custom) file never fires the guard on a
+      // low-core scaling run; and a non-numeric SPARK_GRAFT_CPUS (e.g. "*")
+      // is an explicit mismatch instead of a silent catch-all disable.
+      val cpusNum = scala.util.Try(cpus.trim.toInt).toOption
       val cpusOk = "\"cpus\"\\s*:\\s*([0-9]+)".r.findFirstMatchIn(txt)
-        .forall(_.group(1).toInt == cpus.trim.toInt)
+        .exists(m => cpusNum.contains(m.group(1).toInt))
       if (!sfOk || !cpusOk) Map.empty
       else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
         .findAllMatchIn(txt)
@@ -309,7 +315,7 @@ object Bench {
     val contended =
       sentinelLast > 2.0 * sentinelFirst || sentinelFirst > 2.0 * sentinelLast
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps$psByQuery,"ref_guard_n":$refGuardN,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"passes":$ps$psByQuery,"ref_guard_n":$refGuardN,"sentinel_first":${s3(sentinelFirst)},"sentinel_last":${s3(sentinelLast)},"contended":$contended,"cpus":"$cpus","sf":"$sfDir"}"""
     val full = results.map { case (k, (v, p, est, guard)) =>
       "\"" + k + "\":{\"sec\":" + v + ",\"passes\":" + p +
         ",\"est\":\"" + est + "\",\"guard\":\"" + guard + "\"}"

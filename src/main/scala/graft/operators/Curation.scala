@@ -990,11 +990,16 @@ object Curation {
   def hashedGramBuckets(df: DataFrame, idCol: String, text: Column,
                         buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
-    val w = split(lower(trim(text)), "\\s+")
+    // minParallel (r11): the md5-per-gram fan-out (~200 grams/doc) is
+    // compute-amplified — a single-split corpus scan ran the whole 1M-md5
+    // stream as one 1.2 s task at sf0.1. Hash-by-id keeps each doc's
+    // grams co-located (per-doc sum order unchanged); no-op at scale.
+    val in = Scale.minParallel(df.select(col(idCol), text.as("__t")), idCol)
+    val w = split(lower(trim(col("__t"))), "\\s+")
     val tail = greatest(size(w) - 1, lit(0))
     val bi = zip_with(slice(w, lit(1), tail), slice(w, lit(2), tail),
       (a, b) => concat(a, lit(" "), b))
-    df.select(col(idCol), explode(concat(w, bi)).as("__gram"))
+    in.select(col(idCol), explode(concat(w, bi)).as("__gram"))
       .select(col(idCol),
         pmod(conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"))

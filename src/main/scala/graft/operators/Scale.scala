@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Pin a MINIMUM parallelism under a compute-amplified stage (quadratic
+    * pair scoring, per-row hash/explode fan-out). A tiny input — one
+    * single-row-group parquet file under the scan split floor — plans as
+    * ONE task, and the downstream per-row amplification (a cosine per
+    * ordered pair, an md5 per gram instance) serializes on one core while
+    * the rest of the executor idles; byte-based split sizing cannot see
+    * compute amplification (guide §2.5 input-parallelism: "fix at the
+    * source if you can; otherwise repartition immediately after the
+    * read"). Measured r11 at sf0.1/local[32]: llm_hard_negatives'
+    * 2M-cosine exact-pair scan ran as a single 1.6 s task; the dsir gram
+    * stream (1M md5s) as a single 1.2 s task — both with 31 idle cores.
+    *
+    * Repartitions by hash of `byCol` to the session's default parallelism
+    * ONLY when the input plans fewer partitions: at real scale the scan
+    * already exceeds it and this is a NO-OP (no shuffle, plan unchanged),
+    * so the pin can never cap cluster parallelism — it is scale-adaptive
+    * by construction, not a local[32] constant. Hash-by-column keeps each
+    * key's rows co-located, so per-key float aggregations keep their
+    * single-partition summation order (oracle determinism). */
+  def minParallel(df: DataFrame, byCol: String): DataFrame = {
+    // Shuffle-free inputs ONLY: reading .rdd.getNumPartitions of a plan
+    // that contains an exchange would materialize its AQE query stages
+    // (i.e. eagerly run jobs at construction). A plan that already
+    // shuffles has AQE governing its width — return it unchanged.
+    val shuffles = df.queryExecution.sparkPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeLike]).isDefined
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (shuffles || df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, col(byCol))
+  }
+
   /** Deterministic sharded output — the training-data writer contract: the
     * corpus lands as range-partitioned parquet where (a) shard files carry
     * disjoint, ordered key ranges (file-level min/max stats make key-range

@@ -357,7 +357,13 @@ object Similarity {
     * ANN path is validated against in tests (only sane at small N). */
   def exactPairs(corpus: DataFrame, idCol: String, vecCol: String,
                  threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // minParallel (r11): the quadratic scoring work lives on the streamed
+    // side of the nested-loop join — a single-split corpus scan would
+    // score ALL N² pairs in one task (measured: 1.6 s single-task stage
+    // at sf0.1, 31 cores idle). No-op once the scan has >= default
+    // parallelism partitions.
+    val a = Scale.minParallel(
+      corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
@@ -384,7 +390,12 @@ object Similarity {
     * own candidate joins. */
   def multiProbeAssignments(index: IvfIndex, vecCol: String,
                             probes: Int): DataFrame = {
-    val corpus = index.assignments.drop("cluster")
+    // minParallel (r11): nlist centroid cosines per row on a single-split
+    // scan is the same compute-amplified single-task shape as exactPairs;
+    // no-op at real scan parallelism. index.assignments carries the
+    // corpus id column — hash by the first non-cluster column (the id).
+    val corpus0 = index.assignments.drop("cluster")
+    val corpus = Scale.minParallel(corpus0, corpus0.columns.head)
     val v = col(vecCol).cast("array<double>")
     // explode_outer + null filter: a plain explode would get
     // size/isnotnull filters inferred beneath it that re-inline (and
@@ -413,9 +424,27 @@ object Similarity {
       asg.select(col("cluster"), col(idCol)))
     val a = slim.select(col("cluster"), col(idCol).as("id_a"))
     val b = slim.select(col("cluster"), col(idCol).as("id_b"))
+    // Candidate re-spread (r11): the in-cluster pair join is keyed by at
+    // most nlist distinct clusters, so its natural parallelism is
+    // structurally <= nlist regardless of session partitioning, and the
+    // downstream exact rescore (one fused cosine per candidate pair) is
+    // compute-amplified far beyond its ~16 bytes/row. Repartitioning the
+    // BARE id pairs by (id_a, id_b) costs one narrow shuffle (guide §8:
+    // decide on small rows, move heavy compute onto well-spread keys) —
+    // and because HashPartitioning(id_a, id_b) satisfies the dedup
+    // aggregate's clustering requirement, the distinct plans NO second
+    // exchange: this replaces the dedup's own nlist-bound exchange with a
+    // fleet-width one rather than adding a shuffle. Width = the session's
+    // parallelism floor (defaultParallelism scales with the cluster;
+    // shuffle.partitions is the operator floor the session configured).
+    val session = slim.sparkSession
+    val np = math.max(session.sparkContext.defaultParallelism,
+      session.conf.get("spark.sql.shuffle.partitions").toInt)
     val cands = a.join(b, "cluster")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+      .repartition(np, col("id_a"), col("id_b"))
+      .distinct()
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     cands.join(va, "id_a").join(vb, "id_b")
@@ -523,7 +552,11 @@ object Similarity {
   def bitextMine(left: DataFrame, right: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val l = left.select(col(idCol).as("src"), col(vecCol).as("__vl"))
+    // minParallel (r11): same single-task quadratic-scoring starvation as
+    // exactPairs (measured: 3 concurrent 0.54 s single-task cross-cosine
+    // stages at sf0.1); no-op at real scan parallelism.
+    val l = Scale.minParallel(
+      left.select(col(idCol).as("src"), col(vecCol).as("__vl")), "src")
     val r = right.select(col(idCol).as("dst"), col(vecCol).as("__vr"))
     val pairs = Dedup.reuse(s"bitext:pairs:$k",
       l.crossJoin(r).select(col("src"), col("dst"),

@@ -19,7 +19,15 @@ object PlanExplain {
     sb.append("==== explain(formatted) " + name + " ====\n")
     sb.append(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-    df.write.format("noop").mode("overwrite").save()
+    // Drive execution through the df's OWN QueryExecution (r11, per
+    // ADVICE): a df.write.save() runs a separate QueryExecution, so
+    // df.queryExecution.executedPlan would never execute and the dump
+    // below would mislabel the initial adaptive plan
+    // (isFinalPlan=false) as AQE-final evidence. Counting the executed
+    // plan's RDD materializes every partition of THIS QueryExecution,
+    // so AdaptiveSparkPlanExec re-optimizes and the toString shows the
+    // real final plan (isFinalPlan=true).
+    df.queryExecution.executedPlan.execute().count()
     sb.append("\n==== executed plan (AQE final) " + name + " ====\n")
     sb.append(df.queryExecution.executedPlan.toString)
     val out = sb.toString
